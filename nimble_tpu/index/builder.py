@@ -1,0 +1,412 @@
+"""K-mer index builder: library -> device-resident tensors.
+
+Replaces the reference backend's startup-time colored de-Bruijn-graph /
+k-mer index (rust-pseudoaligner lineage; reference contract:
+nimble/types.py:10-32 and SURVEY §2.8) with a TPU-first layout:
+
+  * a two-choice bucketed hash table over packed k-mer codes.  Every key
+    lives in one of two buckets of BUCKET_SLOTS slots, so a device lookup is
+    exactly two 8-slot bucket gathers + compares — a fixed, SIMD-friendly
+    probe cost, unlike linear probing whose worst-case displacement every
+    vector lane must pay.  Keys are uint64 k-mer codes split into (hi, lo)
+    uint32 pairs (TPU int64 is emulated; uint32 is native).
+  * an equivalence-class ("color") table: each distinct feature set gets a
+    class id; the hash value of a k-mer is its class id.  Classes are stored
+    both as CSR lists (host decode) and as a bitset matrix
+    (n_classes, bitset_words) uint32 for the device AND-intersection.
+  * optional Hamming-1 neighborhood expansion implementing
+    Config.num_mismatches > 0.
+  * a feature -> group mapping implementing Config.group_on.
+
+The builder is fully numpy-vectorized (no per-k-mer Python loops): greedy
+two-choice insertion runs in rounds over all unplaced keys, and equivalence
+classes are identified with 4x32-bit set hashes + count + first/last feature.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from nimble_tpu import seq as seqmod
+from nimble_tpu.config import Config, Data
+from nimble_tpu.index.hashing import bucket_hashes_np, mix32_np
+
+BUCKET_SLOTS = 8
+STASH_SIZE = 8
+_INSERT_ROUNDS = 32
+
+
+@dataclass
+class KmerIndex:
+    """Host-side index container; fields ending in _hi/_lo/_val/_bits are the
+    tensors shipped to the device."""
+
+    k: int
+    n_buckets: int
+    # hash table, flattened (n_buckets * BUCKET_SLOTS,)
+    table_hi: np.ndarray  # uint32
+    table_lo: np.ndarray  # uint32
+    table_val: np.ndarray  # int32 class id, -1 = empty
+    # overflow stash, (STASH_SIZE,)
+    stash_hi: np.ndarray
+    stash_lo: np.ndarray
+    stash_val: np.ndarray
+    # equivalence classes
+    class_offsets: np.ndarray  # int64 (n_classes + 1,) CSR into class_features
+    class_features: np.ndarray  # int32 feature ids, sorted within class
+    class_bits: np.ndarray  # uint32 (n_classes, bitset_words)
+    # features / groups
+    feature_names: List[str]
+    group_names: List[str]
+    feature_to_group: np.ndarray  # int32 (n_features,)
+    group_bits_words: int  # bitset words for group space
+    n_kmers: int
+
+    @property
+    def n_features(self) -> int:
+        return len(self.feature_names)
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.class_offsets) - 1
+
+    @property
+    def bitset_words(self) -> int:
+        return self.class_bits.shape[1]
+
+    def class_feature_list(self, class_id: int) -> List[int]:
+        s, e = self.class_offsets[class_id], self.class_offsets[class_id + 1]
+        return self.class_features[s:e].tolist()
+
+    # ---- host oracle lookup (mirrors the device probe exactly) ----
+    def lookup_np(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        """Vectorized host lookup: (hi, lo) uint32 arrays -> class ids
+        (int32, -1 for miss)."""
+        hi = hi.astype(np.uint32, copy=False)
+        lo = lo.astype(np.uint32, copy=False)
+        h1, h2 = bucket_hashes_np(hi, lo, self.n_buckets)
+        out = np.full(hi.shape, -1, dtype=np.int32)
+        for h in (h1, h2):
+            base = h.astype(np.int64) * BUCKET_SLOTS
+            for s in range(BUCKET_SLOTS):
+                idx = base + s
+                match = (
+                    (self.table_hi[idx] == hi)
+                    & (self.table_lo[idx] == lo)
+                    & (self.table_val[idx] >= 0)
+                )
+                out = np.where(match, self.table_val[idx], out)
+        for s in range(STASH_SIZE):
+            match = (
+                (self.stash_hi[s] == hi)
+                & (self.stash_lo[s] == lo)
+                & (self.stash_val[s] >= 0)
+            )
+            out = np.where(match, self.stash_val[s], out)
+        return out
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            k=self.k,
+            n_buckets=self.n_buckets,
+            table_hi=self.table_hi,
+            table_lo=self.table_lo,
+            table_val=self.table_val,
+            stash_hi=self.stash_hi,
+            stash_lo=self.stash_lo,
+            stash_val=self.stash_val,
+            class_offsets=self.class_offsets,
+            class_features=self.class_features,
+            class_bits=self.class_bits,
+            feature_names=np.array(self.feature_names, dtype=object),
+            group_names=np.array(self.group_names, dtype=object),
+            feature_to_group=self.feature_to_group,
+            group_bits_words=self.group_bits_words,
+            n_kmers=self.n_kmers,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "KmerIndex":
+        z = np.load(path, allow_pickle=True)
+        return cls(
+            k=int(z["k"]),
+            n_buckets=int(z["n_buckets"]),
+            table_hi=z["table_hi"],
+            table_lo=z["table_lo"],
+            table_val=z["table_val"],
+            stash_hi=z["stash_hi"],
+            stash_lo=z["stash_lo"],
+            stash_val=z["stash_val"],
+            class_offsets=z["class_offsets"],
+            class_features=z["class_features"],
+            class_bits=z["class_bits"],
+            feature_names=list(z["feature_names"]),
+            group_names=list(z["group_names"]),
+            feature_to_group=z["feature_to_group"],
+            group_bits_words=int(z["group_bits_words"]),
+            n_kmers=int(z["n_kmers"]),
+        )
+
+
+def _collect_kmer_feature_pairs(
+    data: Data, k: int, feature_ids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All (kmer code, feature id) pairs over the library's forward strands."""
+    codes_list = []
+    feats_list = []
+    for row, sequence in enumerate(data.sequences):
+        codes = seqmod.encode(sequence)
+        km, valid = seqmod.kmer_codes_u64(codes, k)
+        km = km[valid]
+        codes_list.append(km)
+        feats_list.append(np.full(km.shape[0], feature_ids[row], dtype=np.int32))
+    if not codes_list:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int32)
+    return np.concatenate(codes_list), np.concatenate(feats_list)
+
+
+def _expand_hamming1(codes: np.ndarray, feats: np.ndarray, k: int, chunk: int = 1 << 20):
+    """Hamming-1 neighborhood expansion for num_mismatches >= 1: every
+    reference k-mer also maps its 3k single-base variants to its feature.
+    XOR with a nonzero 2-bit delta at a position enumerates exactly the other
+    three bases there."""
+    out_codes = [codes]
+    out_feats = [feats]
+    deltas = np.array([1, 2, 3], dtype=np.uint64)
+    for start in range(0, codes.shape[0], chunk):
+        c = codes[start : start + chunk]
+        f = feats[start : start + chunk]
+        for pos in range(k):
+            variants = c[:, None] ^ (deltas[None, :] << np.uint64(2 * pos))
+            out_codes.append(variants.reshape(-1))
+            out_feats.append(np.repeat(f, 3))
+    return np.concatenate(out_codes), np.concatenate(out_feats)
+
+
+def _assign_classes(
+    sorted_codes: np.ndarray, sorted_feats: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Group (code, feature) pairs (sorted+deduped by (code, feature)) into
+    unique codes and equivalence classes.
+
+    Returns (unique_codes, class_id_per_code, class_offsets, class_features).
+    Class identity uses 4 independent 32-bit set hashes + (count, first, last)
+    — effectively a 128-bit fingerprint of the feature set, collision-safe for
+    non-adversarial input.
+    """
+    n = sorted_codes.shape[0]
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(1, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+        )
+    new_code = np.empty(n, dtype=bool)
+    new_code[0] = True
+    new_code[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    starts = np.flatnonzero(new_code)
+    unique_codes = sorted_codes[starts]
+    counts = np.diff(np.append(starts, n))
+
+    fu = sorted_feats.astype(np.uint32)
+    salts = (0xA511E9B3, 0xB4B82E39, 0xC90FDAA2, 0xD1310BA6)
+    sig = [counts.astype(np.uint32)]
+    for salt in salts:
+        h = mix32_np(fu ^ np.uint32(salt), fu)
+        # order-independent set hash: wrap-around sum within each code group
+        cs = np.concatenate((np.zeros(1, dtype=np.uint64), np.cumsum(h, dtype=np.uint64)))
+        group_sums = cs[np.append(starts[1:], n)] - cs[starts]
+        sig.append((group_sums & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    sig.append(sorted_feats[starts].astype(np.uint32))  # first feature
+    sig.append(sorted_feats[np.append(starts[1:], n) - 1].astype(np.uint32))  # last
+
+    fingerprint = np.stack(sig, axis=1)
+    _, rep_idx, class_of_code = np.unique(
+        fingerprint, axis=0, return_index=True, return_inverse=True
+    )
+    class_of_code = class_of_code.astype(np.int32)
+
+    # CSR from one representative code per class
+    rep_starts = starts[rep_idx]
+    rep_counts = counts[rep_idx]
+    n_classes = rep_idx.shape[0]
+    class_offsets = np.zeros(n_classes + 1, dtype=np.int64)
+    np.cumsum(rep_counts, out=class_offsets[1:])
+    gather = rep_starts.repeat(rep_counts) + (
+        np.arange(class_offsets[-1]) - class_offsets[:-1].repeat(rep_counts)
+    )
+    class_features = sorted_feats[gather]
+    return unique_codes, class_of_code, class_offsets, class_features
+
+
+def _build_hash_table(
+    hi: np.ndarray, lo: np.ndarray, vals: np.ndarray, n_buckets: int
+):
+    """Greedy two-choice insertion, vectorized in rounds. Returns table
+    arrays + stash arrays; raises if the stash overflows (caller grows the
+    table and retries)."""
+    n_slots = n_buckets * BUCKET_SLOTS
+    table_hi = np.zeros(n_slots, dtype=np.uint32)
+    table_lo = np.zeros(n_slots, dtype=np.uint32)
+    table_val = np.full(n_slots, -1, dtype=np.int32)
+    loads = np.zeros(n_buckets, dtype=np.int32)
+
+    h1, h2 = bucket_hashes_np(hi, lo, n_buckets)
+    pending = np.arange(hi.shape[0])
+
+    for _ in range(_INSERT_ROUNDS):
+        if pending.size == 0:
+            break
+        p_h1 = h1[pending]
+        p_h2 = h2[pending]
+        l1 = loads[p_h1]
+        l2 = loads[p_h2]
+        target = np.where(l1 <= l2, p_h1, p_h2).astype(np.int64)
+
+        order = np.argsort(target, kind="stable")
+        t_sorted = target[order]
+        boundary = np.empty(t_sorted.shape[0], dtype=bool)
+        if t_sorted.size:
+            boundary[0] = True
+            boundary[1:] = t_sorted[1:] != t_sorted[:-1]
+        group_id = np.cumsum(boundary) - 1
+        group_start = np.flatnonzero(boundary)
+        rank = np.arange(t_sorted.shape[0]) - group_start[group_id]
+
+        slot_in_bucket = loads[t_sorted] + rank
+        ok = slot_in_bucket < BUCKET_SLOTS
+        keys = pending[order[ok]]
+        slots = t_sorted[ok] * BUCKET_SLOTS + slot_in_bucket[ok]
+        table_hi[slots] = hi[keys]
+        table_lo[slots] = lo[keys]
+        table_val[slots] = vals[keys]
+        np.add.at(loads, t_sorted[ok], 1)
+        pending = pending[order[~ok]]
+
+    stash_hi = np.zeros(STASH_SIZE, dtype=np.uint32)
+    stash_lo = np.zeros(STASH_SIZE, dtype=np.uint32)
+    stash_val = np.full(STASH_SIZE, -1, dtype=np.int32)
+    if pending.size > STASH_SIZE:
+        raise RuntimeError(f"hash table overflow: {pending.size} unplaced keys")
+    if pending.size:
+        stash_hi[: pending.size] = hi[pending]
+        stash_lo[: pending.size] = lo[pending]
+        stash_val[: pending.size] = vals[pending]
+    return table_hi, table_lo, table_val, stash_hi, stash_lo, stash_val
+
+
+def _class_bitsets(class_offsets, class_features, n_features: int) -> np.ndarray:
+    words = max(1, -(-n_features // 32))
+    n_classes = class_offsets.shape[0] - 1
+    bits = np.zeros((n_classes, words), dtype=np.uint32)
+    class_ids = np.repeat(np.arange(n_classes), np.diff(class_offsets))
+    flat = bits.reshape(-1)
+    np.bitwise_or.at(
+        flat,
+        class_ids * words + (class_features >> 5),
+        (np.uint32(1) << (class_features & 31).astype(np.uint32)),
+    )
+    return flat.reshape(n_classes, words)
+
+
+def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = None) -> KmerIndex:
+    """Build the full device index from a library's Data + Config."""
+    config = config or Config()
+    k = int(k or config.kmer_length)
+    if not (1 <= k <= 31):
+        raise ValueError(f"kmer_length must be in [1, 31], got {k}")
+
+    # feature ids: one per distinct sequence_name, in first-occurrence order
+    names = data.sequence_names
+    feature_names: List[str] = []
+    name_to_fid = {}
+    feature_ids = np.empty(len(names), dtype=np.int32)
+    for i, name in enumerate(names):
+        fid = name_to_fid.get(name)
+        if fid is None:
+            fid = len(feature_names)
+            name_to_fid[name] = fid
+            feature_names.append(name)
+        feature_ids[i] = fid
+    n_features = len(feature_names)
+
+    codes, feats = _collect_kmer_feature_pairs(data, k, feature_ids)
+    if config.num_mismatches > 0:
+        codes, feats = _expand_hamming1(codes, feats, k)
+
+    # unique (code, feature) pairs, sorted by (code, feature)
+    if codes.size:
+        order = np.lexsort((feats, codes))
+        codes = codes[order]
+        feats = feats[order]
+        keep = np.empty(codes.shape[0], dtype=bool)
+        keep[0] = True
+        keep[1:] = (codes[1:] != codes[:-1]) | (feats[1:] != feats[:-1])
+        codes = codes[keep]
+        feats = feats[keep]
+
+    unique_codes, class_of_code, class_offsets, class_features = _assign_classes(
+        codes, feats
+    )
+    n_kmers = unique_codes.shape[0]
+
+    # table sizing: slots >= 2x keys (load <= 0.5), power-of-two buckets
+    min_buckets = max(1, -(-n_kmers * 2 // BUCKET_SLOTS))
+    n_buckets = 1 << max(1, int(np.ceil(np.log2(min_buckets))))
+
+    hi = (unique_codes >> np.uint64(32)).astype(np.uint32)
+    lo = (unique_codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    while True:
+        try:
+            tables = _build_hash_table(hi, lo, class_of_code, n_buckets)
+            break
+        except RuntimeError:
+            n_buckets *= 2
+
+    class_bits = _class_bitsets(class_offsets, class_features, n_features)
+
+    # group_on mapping
+    if config.group_on:
+        if config.group_on not in data.headers:
+            raise ValueError(
+                f"group_on column {config.group_on!r} not found in library headers"
+            )
+        col = data.column(config.group_on)
+        group_names: List[str] = []
+        group_to_gid = {}
+        feature_to_group = np.zeros(n_features, dtype=np.int32)
+        for i, name in enumerate(names):
+            gname = col[i]
+            gid = group_to_gid.get(gname)
+            if gid is None:
+                gid = len(group_names)
+                group_to_gid[gname] = gid
+                group_names.append(gname)
+            feature_to_group[feature_ids[i]] = gid
+    else:
+        group_names = list(feature_names)
+        feature_to_group = np.arange(n_features, dtype=np.int32)
+
+    return KmerIndex(
+        k=k,
+        n_buckets=n_buckets,
+        table_hi=tables[0],
+        table_lo=tables[1],
+        table_val=tables[2],
+        stash_hi=tables[3],
+        stash_lo=tables[4],
+        stash_val=tables[5],
+        class_offsets=class_offsets,
+        class_features=class_features,
+        class_bits=class_bits,
+        feature_names=feature_names,
+        group_names=group_names,
+        feature_to_group=feature_to_group,
+        group_bits_words=max(1, -(-len(group_names) // 32)),
+        n_kmers=n_kmers,
+    )

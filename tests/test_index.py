@@ -1,0 +1,171 @@
+"""K-mer index builder tests: hash-table exactness against a brute-force
+oracle, class assignment, bitsets, grouping, mismatch expansion."""
+import numpy as np
+import pytest
+
+from nimble_tpu import seq as seqmod
+from nimble_tpu.config import Config, Data
+from nimble_tpu.index.builder import build_index
+from nimble_tpu.index.hashing import bucket_hashes_jnp, bucket_hashes_np
+
+
+def make_data(seqs, names=None, extra=None):
+    data = Data()
+    names = names or [f"f{i}" for i in range(len(seqs))]
+    for i, s in enumerate(seqs):
+        data.columns[0].append("lib")
+        data.columns[1].append(names[i])
+        data.columns[2].append(str(len(s)))
+        data.columns[3].append(s)
+    if extra:
+        for header, col in extra.items():
+            data.headers.append(header)
+            data.columns.append(col)
+    return data
+
+
+def brute_force_kmer_map(seqs, k):
+    m = {}
+    for fid, s in enumerate(seqs):
+        codes = seqmod.encode(s)
+        km, valid = seqmod.kmer_codes_u64(codes, k)
+        for c in km[valid]:
+            m.setdefault(int(c), set()).add(fid)
+    return m
+
+
+def rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def test_index_matches_bruteforce_oracle():
+    rng = np.random.default_rng(42)
+    # overlapping sequences to force shared k-mers / multi-feature classes
+    base = rand_seq(rng, 500)
+    seqs = [base[:300], base[200:500], rand_seq(rng, 400), base[:150] + rand_seq(rng, 100)]
+    k = 15
+    idx = build_index(make_data(seqs), Config(), k=k)
+    oracle = brute_force_kmer_map(seqs, k)
+    assert idx.n_kmers == len(oracle)
+
+    codes = np.array(sorted(oracle), dtype=np.uint64)
+    hi = (codes >> np.uint64(32)).astype(np.uint32)
+    lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    cls = idx.lookup_np(hi, lo)
+    assert (cls >= 0).all()
+    for code, cid in zip(codes, cls):
+        assert set(idx.class_feature_list(int(cid))) == oracle[int(code)]
+
+    # misses must return -1
+    miss_codes = []
+    c = 1
+    while len(miss_codes) < 100:
+        if c not in oracle:
+            miss_codes.append(c)
+        c += 7919
+    mc = np.array(miss_codes, dtype=np.uint64)
+    got = idx.lookup_np(
+        (mc >> np.uint64(32)).astype(np.uint32), (mc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    )
+    assert (got == -1).all()
+
+
+def test_class_bitsets_match_csr():
+    rng = np.random.default_rng(1)
+    seqs = [rand_seq(rng, 200) for _ in range(40)]  # >32 features => 2 words
+    idx = build_index(make_data(seqs), Config(), k=13)
+    assert idx.bitset_words == 2
+    for cid in range(idx.n_classes):
+        feats = idx.class_feature_list(cid)
+        bits = idx.class_bits[cid]
+        decoded = [
+            w * 32 + b for w in range(idx.bitset_words) for b in range(32) if bits[w] >> b & 1
+        ]
+        assert decoded == sorted(feats)
+
+
+def test_duplicate_sequence_names_share_feature_id():
+    seqs = ["ACGTACGTACGTACGT", "TTTTTTTTTTTTTTTT"]
+    idx = build_index(make_data(seqs, names=["A", "A"]), Config(), k=9)
+    assert idx.n_features == 1
+
+
+def test_group_on_mapping():
+    rng = np.random.default_rng(2)
+    seqs = [rand_seq(rng, 100) for _ in range(4)]
+    data = make_data(seqs, names=["a1", "a2", "b1", "b2"], extra={"lineage": ["L1", "L1", "L2", "L2"]})
+    idx = build_index(data, Config(group_on="lineage"), k=11)
+    assert idx.group_names == ["L1", "L2"]
+    assert idx.feature_to_group.tolist() == [0, 0, 1, 1]
+
+
+def test_group_on_missing_column_raises():
+    with pytest.raises(ValueError):
+        build_index(make_data(["ACGTACGTACGTACGT"]), Config(group_on="nope"), k=9)
+
+
+def test_hamming1_expansion():
+    s = "ACGTACGTACGTACG"
+    k = 15
+    idx = build_index(make_data([s]), Config(num_mismatches=1), k=k)
+    # the exact k-mer and any single-substitution variant must hit
+    code, valid = seqmod.kmer_codes_u64(seqmod.encode(s), k)
+    assert valid.all()
+    variant = code[0] ^ np.uint64(0b11 << 6)  # flip one base
+    for q in (code[0], variant):
+        hi = np.array([q >> np.uint64(32)], dtype=np.uint32)
+        lo = np.array([q & np.uint64(0xFFFFFFFF)], dtype=np.uint32)
+        assert idx.lookup_np(hi, lo)[0] >= 0
+    # a 2-substitution variant must miss
+    variant2 = variant ^ np.uint64(0b11 << 12)
+    hi = np.array([variant2 >> np.uint64(32)], dtype=np.uint32)
+    lo = np.array([variant2 & np.uint64(0xFFFFFFFF)], dtype=np.uint32)
+    assert idx.lookup_np(hi, lo)[0] == -1
+
+
+def test_hash_np_jnp_parity():
+    rng = np.random.default_rng(3)
+    hi = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    h1n, h2n = bucket_hashes_np(hi, lo, 1 << 16)
+    h1j, h2j = bucket_hashes_jnp(hi, lo, 1 << 16)
+    assert np.array_equal(h1n, np.asarray(h1j))
+    assert np.array_equal(h2n, np.asarray(h2j))
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    seqs = [rand_seq(rng, 150) for _ in range(3)]
+    idx = build_index(make_data(seqs), Config(), k=13)
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    from nimble_tpu.index.builder import KmerIndex
+
+    idx2 = KmerIndex.load(path)
+    assert idx2.k == idx.k
+    assert np.array_equal(idx2.table_val, idx.table_val)
+    assert idx2.feature_names == idx.feature_names
+
+
+def test_larger_scale_index():
+    rng = np.random.default_rng(5)
+    # ~100 "alleles" of length 3kb sharing a common backbone (HLA-like)
+    backbone = rand_seq(rng, 3000)
+    seqs = []
+    for _ in range(100):
+        s = list(backbone)
+        for pos in rng.integers(0, 3000, size=30):
+            s[pos] = "ACGT"[rng.integers(0, 4)]
+        seqs.append("".join(s))
+    idx = build_index(make_data(seqs), Config(), k=21)
+    assert idx.n_kmers > 3000
+    # spot-check 500 random kmers against brute force
+    oracle = brute_force_kmer_map(seqs, 21)
+    sample = list(oracle)[:500]
+    codes = np.array(sample, dtype=np.uint64)
+    cls = idx.lookup_np(
+        (codes >> np.uint64(32)).astype(np.uint32),
+        (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+    for code, cid in zip(sample, cls):
+        assert set(idx.class_feature_list(int(cid))) == oracle[code]
