@@ -1,0 +1,354 @@
+"""The TPU alignment engine: k-mer match + configurable scoring.
+
+This is the device-side replacement for the reference's Rust pseudoaligner
+(the entire hot path; reference contract: SURVEY §2.4, nimble/types.py:10-26).
+The computation per read(-mate), all jnp/XLA (static shapes, no host
+round-trips inside a batch):
+
+  1. 2-bit packed rolling k-mer codes as (hi, lo) uint32 pairs, with a
+     validity mask (no N in window, window inside the read).
+  2. Two-choice bucketed hash probe of the device-resident index: exactly two
+     8-slot bucket-row gathers + compares per k-mer (+ a tiny stash sweep)
+     -> per-position equivalence-class ids.
+  3. Coverage score = number of read bases covered by >= 1 matching k-mer
+     ("score in bp", matching the reference's score unit; reference:
+     report_generation.py:279), via a cumulative-sum window trick.
+  4. Kallisto-style feature intersection: bitwise AND over the class bitsets
+     of all matched positions.
+  5. Forward and reverse-complement orientations scored independently
+     (the reference reports r1_forward_score/r2_forward_score columns);
+     orientation selected per the strand filter.
+  6. Mate combination per Config.intersect_level / require_valid_pair, and
+     score filters (score_threshold, score_filter, score_percent).
+
+Set-size filters (discard_multiple_matches, discard_multi_hits,
+max_hits_to_report) and group_on collapse operate on the decoded feature
+sets host-side (see align/pipeline.py) — they are O(reported reads), not
+O(read bases), so they are not on the hot path.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nimble_tpu.config import Config
+from nimble_tpu.index.builder import BUCKET_SLOTS, STASH_SIZE, KmerIndex
+from nimble_tpu.index.hashing import bucket_hashes_jnp
+
+N_CODE = 4
+
+
+@dataclass(frozen=True)
+class AlignParams:
+    """Static (trace-time) alignment parameters derived from Config."""
+
+    k: int
+    n_buckets: int
+    score_threshold: int
+    score_filter: int
+    score_percent: float
+    intersect_level: int
+    require_valid_pair: bool
+    strand_filter: str  # "unstranded" | "fiveprime" | "threeprime"
+
+    @classmethod
+    def from_config(cls, config: Config, index: KmerIndex, strand_filter: str = "unstranded"):
+        return cls(
+            k=index.k,
+            n_buckets=index.n_buckets,
+            score_threshold=int(config.score_threshold),
+            score_filter=int(config.score_filter),
+            score_percent=float(config.score_percent),
+            intersect_level=int(config.intersect_level),
+            require_valid_pair=bool(config.require_valid_pair),
+            strand_filter=strand_filter,
+        )
+
+
+def _device_tables(index: KmerIndex):
+    """Index tensors as a pytree of jnp arrays (bucket-major 2D layout so a
+    probe gathers one contiguous 8-slot row per hash).
+
+    All gathered tables are stored as int32 bit-patterns: XLA CPU compiles
+    uint32 gathers pathologically slowly (minutes vs <1s for int32), and
+    bitwise equality / AND are sign-agnostic. Queries are bitcast before
+    comparison."""
+    nb = index.n_buckets
+    as_i32 = lambda a: jnp.asarray(a.view(np.int32))
+    return {
+        "hi": as_i32(index.table_hi.reshape(nb, BUCKET_SLOTS)),
+        "lo": as_i32(index.table_lo.reshape(nb, BUCKET_SLOTS)),
+        "val": jnp.asarray(index.table_val.reshape(nb, BUCKET_SLOTS)),
+        "stash_hi": as_i32(index.stash_hi),
+        "stash_lo": as_i32(index.stash_lo),
+        "stash_val": jnp.asarray(index.stash_val),
+        "class_bits": as_i32(index.class_bits),
+    }
+
+
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def kmer_hi_lo(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
+    """(B, L) int8 base codes -> k-mer (hi, lo) uint32 codes at each of
+    P = L-k+1 positions, plus validity. Bit layout: first base in the high
+    bits; 2-bit positions are even so no base straddles the hi/lo boundary."""
+    B, L = codes.shape
+    P = L - k + 1
+    assert P >= 1, "reads shorter than k"
+    c = codes.astype(jnp.uint32)
+    hi = jnp.zeros((B, P), dtype=jnp.uint32)
+    lo = jnp.zeros((B, P), dtype=jnp.uint32)
+    for j in range(k):
+        bitpos = 2 * (k - 1 - j)
+        window = c[:, j : j + P] & jnp.uint32(3)
+        if bitpos >= 32:
+            hi = hi | (window << jnp.uint32(bitpos - 32))
+        else:
+            lo = lo | (window << jnp.uint32(bitpos))
+    bad = (codes == N_CODE).astype(jnp.int32)
+    bad_cum = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(bad, axis=1)], axis=1
+    )
+    no_n = (bad_cum[:, k:] - bad_cum[:, :-k]) == 0
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    inside = pos + k <= lens[:, None]
+    return hi, lo, no_n & inside
+
+
+def lookup_classes(hi, lo, valid, tables, n_buckets: int):
+    """Two-choice bucketed probe: (B, P) keys -> (B, P) class ids (-1 miss)."""
+    h1, h2 = bucket_hashes_jnp(hi, lo, n_buckets)
+    hi_i = _bitcast_i32(hi)
+    lo_i = _bitcast_i32(lo)
+    out = jnp.full(hi.shape, -1, dtype=jnp.int32)
+    for h in (h1, h2):
+        idx = h.astype(jnp.int32)
+        bk_hi = tables["hi"][idx]  # (B, P, S)
+        bk_lo = tables["lo"][idx]
+        bk_val = tables["val"][idx]
+        match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & (bk_val >= 0)
+        # at most one slot matches (keys are unique): max-select it
+        cand = jnp.max(jnp.where(match, bk_val, -1), axis=-1)
+        out = jnp.maximum(out, cand)
+    for s in range(STASH_SIZE):
+        match = (tables["stash_hi"][s] == hi_i) & (tables["stash_lo"][s] == lo_i) & (
+            tables["stash_val"][s] >= 0
+        )
+        out = jnp.where(match, tables["stash_val"][s], out)
+    return jnp.where(valid, out, -1)
+
+
+def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int):
+    """Number of bases covered by >= 1 matched k-mer window ("score in bp").
+
+    Base b is covered iff some matched position p satisfies p <= b <= p+k-1,
+    i.e. p in [b-k+1, b]; computed with a trailing-window cumsum."""
+    B, P = matched.shape
+    mc = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(matched.astype(jnp.int32), axis=1)],
+        axis=1,
+    )  # (B, P+1)
+    b = np.arange(L)
+    hi_idx = np.minimum(b + 1, P)
+    lo_idx = np.clip(b - k + 1, 0, P)
+    covered = (mc[:, hi_idx] - mc[:, lo_idx]) > 0  # (B, L)
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    return jnp.sum(covered & in_read, axis=1).astype(jnp.int32)
+
+
+def intersect_class_bits(class_ids, matched, class_bits):
+    """Bitwise-AND of class bitsets over matched positions -> (B, W) uint32.
+    Misses contribute the identity (all ones). Reads with zero matched
+    positions end with all-zero bitsets (unmapped)."""
+    B, P = class_ids.shape
+    W = class_bits.shape[1]
+    ones = jnp.full((B, W), -1, dtype=jnp.int32)  # all-ones bit pattern
+
+    if W <= 32:
+        rows = class_bits[jnp.clip(class_ids, 0, None)]  # (B, P, W)
+        rows = jnp.where(matched[..., None], rows, jnp.int32(-1))
+        # AND-reduce over positions via a halving tree of plain elementwise
+        # ANDs (lax.reduce with a custom computation triggers a pathological
+        # XLA CPU compile).
+        n = rows.shape[1]
+        while n > 1:
+            half = n // 2
+            lower = rows[:, :half] & rows[:, half : 2 * half]
+            if n % 2:
+                lower = lower.at[:, 0].set(lower[:, 0] & rows[:, -1])
+            rows = lower
+            n = half
+        acc = rows[:, 0]
+    else:
+        def body(p, acc):
+            row = class_bits[jnp.clip(class_ids[:, p], 0, None)]  # (B, W)
+            return acc & jnp.where(matched[:, p, None], row, jnp.int32(-1))
+
+        acc = jax.lax.fori_loop(0, P, body, ones)
+
+    any_match = jnp.any(matched, axis=1)
+    return jnp.where(any_match[:, None], acc, jnp.int32(0))
+
+
+def revcomp_device(codes: jnp.ndarray, lens: jnp.ndarray):
+    """Per-read reverse complement keeping padding at the tail."""
+    B, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lens[:, None] - 1 - pos
+    flipped = jnp.take_along_axis(codes, jnp.clip(src, 0, L - 1), axis=1)
+    comp = jnp.where(flipped < 4, 3 - flipped, flipped)
+    return jnp.where(src >= 0, comp, jnp.int8(N_CODE)).astype(codes.dtype)
+
+
+def _score_mate(codes, lens, tables, p: AlignParams):
+    """Score one mate in both orientations; returns
+    (bits, score, fwd_score, rev_score) after orientation selection."""
+    hi, lo, valid = kmer_hi_lo(codes, lens, p.k)
+    cls_f = lookup_classes(hi, lo, valid, tables, p.n_buckets)
+    matched_f = cls_f >= 0
+    score_f = coverage_score(matched_f, lens, p.k, codes.shape[1])
+
+    rc = revcomp_device(codes, lens)
+    hi_r, lo_r, valid_r = kmer_hi_lo(rc, lens, p.k)
+    cls_r = lookup_classes(hi_r, lo_r, valid_r, tables, p.n_buckets)
+    matched_r = cls_r >= 0
+    score_r = coverage_score(matched_r, lens, p.k, codes.shape[1])
+
+    if p.strand_filter == "fiveprime":
+        use_fwd = jnp.ones_like(score_f, dtype=bool)
+    elif p.strand_filter == "threeprime":
+        use_fwd = jnp.zeros_like(score_f, dtype=bool)
+    else:  # unstranded: higher-scoring orientation, ties -> forward
+        use_fwd = score_f >= score_r
+
+    bits_f = intersect_class_bits(cls_f, matched_f, tables["class_bits"])
+    bits_r = intersect_class_bits(cls_r, matched_r, tables["class_bits"])
+    bits = jnp.where(use_fwd[:, None], bits_f, bits_r)
+    score = jnp.where(use_fwd, score_f, score_r)
+    return bits, score, score_f, score_r
+
+
+def align_step(tables, p: AlignParams, r1_codes, r1_lens, r2_codes=None, r2_lens=None):
+    """One jittable alignment step over a read(-pair) batch.
+
+    Returns dict: bits (B, W) uint32 final feature bitset, score (B,) int32
+    total score, r1_fwd/r1_rev/r2_fwd/r2_rev orientation scores, r1_score/
+    r2_score selected per-mate scores, pass_ (B,) bool score-filter verdict.
+    """
+    bits1, score1, f1, r1 = _score_mate(r1_codes, r1_lens, tables, p)
+    valid1 = (
+        (score1 >= p.score_threshold)
+        & (score1.astype(jnp.float32) >= p.score_percent * r1_lens.astype(jnp.float32))
+        & jnp.any(bits1 != 0, axis=1)
+    )
+
+    if r2_codes is not None:
+        bits2, score2, f2, r2 = _score_mate(r2_codes, r2_lens, tables, p)
+        valid2 = (
+            (score2 >= p.score_threshold)
+            & (score2.astype(jnp.float32) >= p.score_percent * r2_lens.astype(jnp.float32))
+            & jnp.any(bits2 != 0, axis=1)
+        )
+        b1 = jnp.where(valid1[:, None], bits1, jnp.int32(0))
+        b2 = jnp.where(valid2[:, None], bits2, jnp.int32(0))
+        union = b1 | b2
+        inter = b1 & b2
+        both = valid1 & valid2
+        single = jnp.where(valid1[:, None], b1, b2)
+        if p.intersect_level == 0:
+            bits = jnp.where(both[:, None], union, single)
+        elif p.intersect_level == 1:
+            inter_nonempty = jnp.any(inter != 0, axis=1)
+            paired = jnp.where(inter_nonempty[:, None], inter, union)
+            bits = jnp.where(both[:, None], paired, single)
+        else:  # strict intersection
+            bits = jnp.where(both[:, None], inter, single)
+        score = jnp.where(valid1, score1, 0) + jnp.where(valid2, score2, 0)
+        any_valid = valid1 | valid2
+        if p.require_valid_pair:
+            any_valid = both
+            bits = jnp.where(both[:, None], bits, jnp.int32(0))
+    else:
+        bits = jnp.where(valid1[:, None], bits1, jnp.int32(0))
+        score = jnp.where(valid1, score1, 0)
+        any_valid = valid1
+        score2 = f2 = r2 = jnp.zeros_like(score1)
+
+    pass_ = any_valid & (score >= p.score_filter) & jnp.any(bits != 0, axis=1)
+    return {
+        "bits": bits,
+        "score": score,
+        "r1_fwd": f1,
+        "r1_rev": r1,
+        "r2_fwd": f2,
+        "r2_rev": r2,
+        "pass_": pass_,
+    }
+
+
+class AlignEngine:
+    """Compiled single-device alignment engine over fixed-shape chunks."""
+
+    def __init__(
+        self,
+        index: KmerIndex,
+        config: Config,
+        strand_filter: str = "unstranded",
+        chunk_size: int = 2048,
+        max_len: int = 256,
+        paired: bool = False,
+    ):
+        self.index = index
+        self.config = config
+        self.params = AlignParams.from_config(config, index, strand_filter)
+        self.chunk_size = chunk_size
+        self.max_len = max(max_len, index.k)
+        self.paired = paired
+        self.tables = _device_tables(index)
+
+        p = self.params
+        if paired:
+            self._fn = jax.jit(
+                lambda t, c1, l1, c2, l2: align_step(t, p, c1, l1, c2, l2)
+            )
+        else:
+            self._fn = jax.jit(lambda t, c1, l1: align_step(t, p, c1, l1))
+
+    def _pad(self, arr, n, fill):
+        if arr.shape[0] == n:
+            return arr
+        pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width, constant_values=fill)
+
+    def align_batch(
+        self,
+        r1_codes: np.ndarray,
+        r1_lens: np.ndarray,
+        r2_codes: Optional[np.ndarray] = None,
+        r2_lens: Optional[np.ndarray] = None,
+    ):
+        """Align a host batch of arbitrary size; returns host numpy outputs."""
+        n = r1_codes.shape[0]
+        outs = []
+        for start in range(0, n, self.chunk_size):
+            end = min(start + self.chunk_size, n)
+            c1 = self._pad(r1_codes[start:end], self.chunk_size, N_CODE)
+            l1 = self._pad(r1_lens[start:end], self.chunk_size, 0)
+            if self.paired:
+                c2 = self._pad(r2_codes[start:end], self.chunk_size, N_CODE)
+                l2 = self._pad(r2_lens[start:end], self.chunk_size, 0)
+                out = self._fn(self.tables, c1, l1, c2, l2)
+            else:
+                out = self._fn(self.tables, c1, l1)
+            outs.append({k: np.asarray(v)[: end - start] for k, v in out.items()})
+        if not outs:
+            return None
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

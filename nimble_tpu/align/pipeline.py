@@ -1,0 +1,258 @@
+"""Host-side alignment pipeline: read streaming, emission, multi-library.
+
+Orchestrates the device engine over streamed read batches and emits the
+alignment-results TSV in the reference backend's schema (reference consumers:
+nimble/__main__.py:237-241, nimble/report_generation.py:275-288). Set-size
+filters (discard_multiple_matches / discard_multi_hits / max_hits_to_report)
+and group_on collapse run here on decoded feature sets — O(aligned reads),
+off the device hot path.
+
+Multi-library alignment happens in a single pass over the reads: each batch
+is aligned against every library's engine before the next batch is read
+(reference: -r/-o pairs, __main__.py:182-189).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nimble_tpu.align.engine import AlignEngine
+from nimble_tpu.config import Config, load_library
+from nimble_tpu.index.builder import KmerIndex, build_index
+
+TSV_HEADER = [
+    "nimble_features",
+    "nimble_score",
+    "r1_CB",
+    "r1_UB",
+    "r2_CB",
+    "r2_UB",
+    "r1_POS",
+    "r2_POS",
+    "r1_forward_score",
+    "r2_forward_score",
+    "r1_GN",
+]
+
+
+def decode_bitsets(bits: np.ndarray, n_features: int) -> np.ndarray:
+    """(B, W) uint32 bitsets -> (B, n_features) bool membership matrix."""
+    if bits.size == 0:
+        return np.zeros((bits.shape[0], n_features), dtype=bool)
+    u8 = bits.astype("<u4", copy=False).view(np.uint8).reshape(bits.shape[0], -1)
+    expanded = np.unpackbits(u8, axis=1, bitorder="little")
+    return expanded[:, :n_features].astype(bool)
+
+
+@dataclass
+class EmitConfig:
+    """Host emission parameters derived from the library Config."""
+
+    group_on: bool
+    discard_multiple_matches: bool
+    discard_multi_hits: int
+    max_hits_to_report: int
+
+
+def resolve_features(
+    index: KmerIndex, bits: np.ndarray, emit: EmitConfig
+) -> Tuple[List[str], np.ndarray]:
+    """Decode device bitsets into reported feature strings.
+
+    Applies group_on collapse then the set-size filters. Returns
+    (feature_string per read, keep mask); dropped reads get ''.
+    """
+    member = decode_bitsets(bits, index.n_features)
+    n = member.shape[0]
+    rows, cols = np.nonzero(member)
+    if emit.group_on:
+        cols = index.feature_to_group[cols]
+        names = index.group_names
+    else:
+        names = index.feature_names
+
+    features: List[str] = [""] * n
+    keep = np.zeros(n, dtype=bool)
+    # split the flat nonzero list into per-read slices
+    boundaries = np.searchsorted(rows, np.arange(n + 1))
+    for i in range(n):
+        s, e = boundaries[i], boundaries[i + 1]
+        if s == e:
+            continue
+        ids = np.unique(cols[s:e])
+        if emit.discard_multiple_matches and ids.size > 1:
+            continue
+        if emit.discard_multi_hits > 0 and ids.size > emit.discard_multi_hits:
+            continue
+        if ids.size > emit.max_hits_to_report:
+            continue
+        features[i] = ",".join(sorted(names[g] for g in ids))
+        keep[i] = True
+    return features, keep
+
+
+@dataclass
+class LibraryRunner:
+    """One library's engine + emission state + output file."""
+
+    config: Config
+    index: KmerIndex
+    engine: AlignEngine
+    emit: EmitConfig
+    output_path: str
+    _file: object = None
+    rows_written: int = 0
+
+    def open(self):
+        self._file = open(self.output_path, "w")
+        self._file.write("\t".join(TSV_HEADER) + "\n")
+
+    def close(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def process_batch(self, batch: Dict[str, np.ndarray]) -> int:
+        """Align one read batch and append passing rows to the TSV."""
+        out = self.engine.align_batch(
+            batch["r1_codes"],
+            batch["r1_lens"],
+            batch.get("r2_codes"),
+            batch.get("r2_lens"),
+        )
+        if out is None:
+            return 0
+        pass_ = out["pass_"]
+        features, keep = resolve_features(self.index, out["bits"], self.emit)
+        keep &= pass_
+
+        idxs = np.nonzero(keep)[0]
+        cbs = batch.get("cbs")
+        umis = batch.get("umis")
+        poss = batch.get("poss")
+        gns = batch.get("gns")
+        score = out["score"]
+        f1 = out["r1_fwd"]
+        f2 = out["r2_fwd"]
+        lines = []
+        for i in idxs:
+            cb = cbs[i] if cbs is not None else ""
+            umi = umis[i] if umis is not None else ""
+            pos1, pos2 = poss[i] if poss is not None else ("", "")
+            gn = gns[i] if gns is not None else ""
+            lines.append(
+                f"{features[i]}\t{score[i]}\t{cb}\t{umi}\t{cb}\t{umi}\t"
+                f"{pos1}\t{pos2}\t{f1[i]}\t{f2[i]}\t{gn}\n"
+            )
+        self._file.write("".join(lines))
+        self.rows_written += len(lines)
+        return len(lines)
+
+
+def make_runner(
+    library_path: str,
+    output_path: str,
+    strand_filter: str = "unstranded",
+    paired: bool = False,
+    chunk_size: int = 2048,
+    max_len: int = 256,
+    kmer_length: Optional[int] = None,
+) -> LibraryRunner:
+    config, data = load_library(library_path)
+    index = build_index(data, config, k=kmer_length)
+    engine = AlignEngine(
+        index,
+        config,
+        strand_filter=strand_filter,
+        chunk_size=chunk_size,
+        max_len=max_len,
+        paired=paired,
+    )
+    emit = EmitConfig(
+        group_on=bool(config.group_on),
+        discard_multiple_matches=bool(config.discard_multiple_matches),
+        discard_multi_hits=int(config.discard_multi_hits),
+        max_hits_to_report=int(config.max_hits_to_report),
+    )
+    return LibraryRunner(config, index, engine, emit, output_path)
+
+
+def append_path_string(input_path: str, append: str) -> str:
+    """Insert a suffix before the (full, possibly multi-part) extension
+    (reference: utils.py:9-27)."""
+    filename = os.path.basename(input_path)
+    root = filename
+    ext = ""
+    while True:
+        root, ext2 = os.path.splitext(root)
+        if ext2 == "":
+            break
+        ext = ext2 + ext
+    return os.path.join(os.path.dirname(input_path), root + append + ext)
+
+
+def align_files(
+    reference: str,
+    output: str,
+    inputs: Sequence[str],
+    strand_filter: str = "unstranded",
+    chunk_size: int = 2048,
+    max_len: int = 256,
+    batch_records: int = 1 << 14,
+) -> int:
+    """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
+    library list, one output TSV per library (reference: __main__.py:153-211).
+    Returns a process exit code."""
+    library_list = reference.split(",")
+    input_ext = os.path.splitext(inputs[0])[-1].lower()
+    is_bam = input_ext == ".bam"
+    paired = (len(inputs) == 2) or is_bam
+
+    runners: List[LibraryRunner] = []
+    for library in library_list:
+        out_append = ""
+        if len(library_list) > 1:
+            out_append = "." + os.path.splitext(os.path.basename(library))[0]
+        runners.append(
+            make_runner(
+                library,
+                append_path_string(output, out_append),
+                strand_filter=strand_filter,
+                paired=paired,
+                chunk_size=chunk_size,
+                max_len=max_len,
+            )
+        )
+
+    for r in runners:
+        r.open()
+    total = 0
+    try:
+        if is_bam:
+            from nimble_tpu.io.bam import iter_bam_batches
+
+            batches = iter_bam_batches(
+                inputs[0], batch_records=batch_records, max_len=max_len
+            )
+        else:
+            from nimble_tpu.io.fastq import FastqReader
+
+            reader = FastqReader(
+                inputs[0],
+                inputs[1] if len(inputs) == 2 else None,
+                batch_size=batch_records,
+                max_len=max_len,
+            )
+            batches = iter(reader)
+        for batch in batches:
+            total += batch["r1_codes"].shape[0]
+            for r in runners:
+                r.process_batch(batch)
+    finally:
+        for r in runners:
+            r.close()
+    print(f"Aligned {total} read(-pair)s across {len(runners)} library(ies)")
+    return 0

@@ -1,0 +1,267 @@
+"""Alignment engine tests against a brute-force Python oracle implementing
+the same semantics (coverage score in bases, kallisto-style class
+intersection, orientation selection, pair combination, score filters)."""
+import numpy as np
+import pytest
+
+from nimble_tpu import seq as seqmod
+from nimble_tpu.align.engine import AlignEngine, AlignParams, align_step, _device_tables
+from nimble_tpu.align.pipeline import EmitConfig, decode_bitsets, resolve_features
+from nimble_tpu.config import Config, Data
+from nimble_tpu.index.builder import build_index
+
+
+def make_data(seqs, names=None, extra=None):
+    data = Data()
+    names = names or [f"f{i}" for i in range(len(seqs))]
+    for i, s in enumerate(seqs):
+        data.columns[0].append("lib")
+        data.columns[1].append(names[i])
+        data.columns[2].append(str(len(s)))
+        data.columns[3].append(s)
+    if extra:
+        for header, col in extra.items():
+            data.headers.append(header)
+            data.columns.append(col)
+    return data
+
+
+def rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def oracle_kmer_map(seqs, k):
+    m = {}
+    for fid, s in enumerate(seqs):
+        codes = seqmod.encode(s)
+        km, valid = seqmod.kmer_codes_u64(codes, k)
+        for c in km[valid]:
+            m.setdefault(int(c), set()).add(fid)
+    return m
+
+
+def oracle_mate(read, kmer_map, k, n_features):
+    """Brute-force single-orientation score + feature set for one read."""
+    codes = seqmod.encode(read)
+    km, valid = seqmod.kmer_codes_u64(codes, k)
+    matched_pos = [i for i in range(len(km)) if valid[i] and int(km[i]) in kmer_map]
+    covered = set()
+    for p in matched_pos:
+        covered.update(range(p, p + k))
+    feats = None
+    for p in matched_pos:
+        s = kmer_map[int(km[p])]
+        feats = set(s) if feats is None else feats & s
+    return len(covered), (feats or set())
+
+
+def oracle_best(read, kmer_map, k, n_features):
+    """Orientation-selected (unstranded, ties -> forward) mate result."""
+    sf, ff = oracle_mate(read, kmer_map, k, n_features)
+    sr, fr = oracle_mate(seqmod.revcomp(read), kmer_map, k, n_features)
+    if sf >= sr:
+        return sf, ff, sf, sr
+    return sr, fr, sf, sr
+
+
+@pytest.fixture(scope="module")
+def hla_like():
+    rng = np.random.default_rng(7)
+    backbone = rand_seq(rng, 1000)
+    seqs = []
+    for _ in range(12):
+        s = list(backbone)
+        for pos in rng.integers(0, 1000, size=25):
+            s[pos] = "ACGT"[rng.integers(0, 4)]
+        seqs.append("".join(s))
+    seqs.append(rand_seq(rng, 800))  # one unrelated feature
+    return seqs
+
+
+def sample_reads(rng, seqs, n, read_len, error_rate=0.0, revcomp_frac=0.5):
+    reads = []
+    for _ in range(n):
+        src = seqs[rng.integers(0, len(seqs))]
+        start = rng.integers(0, len(src) - read_len + 1)
+        r = list(src[start : start + read_len])
+        for i in range(read_len):
+            if rng.random() < error_rate:
+                r[i] = "ACGT"[rng.integers(0, 4)]
+        r = "".join(r)
+        if rng.random() < revcomp_frac:
+            r = seqmod.revcomp(r)
+        reads.append(r)
+    return reads
+
+
+def engine_results(seqs, reads, config=None, k=21, **kw):
+    config = config or Config()
+    data = make_data(seqs)
+    index = build_index(data, config, k=k)
+    engine = AlignEngine(index, config, max_len=max(len(r) for r in reads), **kw)
+    codes, lens = seqmod.encode_batch(reads, engine.max_len)
+    out = engine.align_batch(codes, lens)
+    return index, out
+
+
+class TestSingleEnd:
+    def test_perfect_reads_match_oracle(self, hla_like):
+        rng = np.random.default_rng(11)
+        reads = sample_reads(rng, hla_like, 64, read_len=100)
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        index, out = engine_results(hla_like, reads, cfg)
+        kmap = oracle_kmer_map(hla_like, 21)
+        member = decode_bitsets(out["bits"], index.n_features)
+        for i, read in enumerate(reads):
+            score, feats, sf, sr = oracle_best(read, kmap, 21, index.n_features)
+            assert out["score"][i] == score, read
+            assert out["r1_fwd"][i] == sf
+            assert out["r1_rev"][i] == sr
+            got = set(np.nonzero(member[i])[0])
+            assert got == feats, (i, got, feats)
+
+    def test_noisy_reads_match_oracle(self, hla_like):
+        rng = np.random.default_rng(13)
+        reads = sample_reads(rng, hla_like, 64, read_len=120, error_rate=0.02)
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        index, out = engine_results(hla_like, reads, cfg)
+        kmap = oracle_kmer_map(hla_like, 21)
+        member = decode_bitsets(out["bits"], index.n_features)
+        for i, read in enumerate(reads):
+            score, feats, _, _ = oracle_best(read, kmap, 21, index.n_features)
+            if not feats:
+                # empty class intersection => unmapped: engine zeroes the read
+                assert out["score"][i] == 0
+                assert not member[i].any()
+            else:
+                assert out["score"][i] == score
+                assert set(np.nonzero(member[i])[0]) == feats
+
+    def test_unrelated_reads_miss(self, hla_like):
+        rng = np.random.default_rng(17)
+        reads = [rand_seq(rng, 100) for _ in range(16)]
+        index, out = engine_results(hla_like, reads, Config())
+        assert not out["pass_"].any()
+        assert (out["bits"] == 0).all()
+
+    def test_reads_with_n_bases(self, hla_like):
+        rng = np.random.default_rng(19)
+        reads = sample_reads(rng, hla_like, 8, read_len=100, revcomp_frac=0)
+        reads = [r[:50] + "N" + r[51:] for r in reads]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        index, out = engine_results(hla_like, reads, cfg)
+        kmap = oracle_kmer_map(hla_like, 21)
+        for i, read in enumerate(reads):
+            score, _, _, _ = oracle_best(read, kmap, 21, index.n_features)
+            assert out["score"][i] == score
+
+    def test_score_filters(self, hla_like):
+        rng = np.random.default_rng(23)
+        reads = sample_reads(rng, hla_like, 32, read_len=100)
+        # absurd filter: nothing passes
+        _, out = engine_results(hla_like, reads, Config(score_filter=1000))
+        assert not out["pass_"].any()
+        # score_percent = 1.0 requires full-length coverage
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=1.0)
+        _, out = engine_results(hla_like, reads, cfg)
+        assert (out["score"][out["pass_"]] == 100).all()
+
+    def test_short_and_varied_lengths(self, hla_like):
+        rng = np.random.default_rng(29)
+        r100 = sample_reads(rng, hla_like, 4, read_len=100, revcomp_frac=0)
+        r30 = sample_reads(rng, hla_like, 4, read_len=30, revcomp_frac=0)
+        reads = r100 + r30
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        index, out = engine_results(hla_like, reads, cfg)
+        kmap = oracle_kmer_map(hla_like, 21)
+        for i, read in enumerate(reads):
+            score, _, _, _ = oracle_best(read, kmap, 21, index.n_features)
+            assert out["score"][i] == score
+
+
+class TestPaired:
+    def run_paired(self, seqs, pairs, config, k=21):
+        data = make_data(seqs)
+        index = build_index(data, config, k=k)
+        max_len = max(max(len(a), len(b)) for a, b in pairs)
+        engine = AlignEngine(index, config, max_len=max_len, paired=True)
+        c1, l1 = seqmod.encode_batch([p[0] for p in pairs], max_len)
+        c2, l2 = seqmod.encode_batch([p[1] for p in pairs], max_len)
+        return index, engine.align_batch(c1, l1, c2, l2)
+
+    def test_pair_union_level0(self, hla_like):
+        rng = np.random.default_rng(31)
+        # r1 from feature set A, r2 from same source region (consistent)
+        src = hla_like[0]
+        pairs = [(src[0:100], seqmod.revcomp(src[150:250])) for _ in range(4)]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, intersect_level=0)
+        index, out = self.run_paired(hla_like, pairs, cfg)
+        assert out["pass_"].all()
+        kmap = oracle_kmer_map(hla_like, 21)
+        member = decode_bitsets(out["bits"], index.n_features)
+        _, f1, _, _ = oracle_best(pairs[0][0], kmap, 21, index.n_features)
+        _, f2, _, _ = oracle_best(pairs[0][1], kmap, 21, index.n_features)
+        assert set(np.nonzero(member[0])[0]) == (f1 | f2)
+        assert out["score"][0] == 200
+
+    def test_pair_intersection_level2(self, hla_like):
+        src = hla_like[0]
+        pairs = [(src[0:100], seqmod.revcomp(src[150:250]))]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, intersect_level=2)
+        index, out = self.run_paired(hla_like, pairs, cfg)
+        kmap = oracle_kmer_map(hla_like, 21)
+        member = decode_bitsets(out["bits"], index.n_features)
+        _, f1, _, _ = oracle_best(pairs[0][0], kmap, 21, index.n_features)
+        _, f2, _, _ = oracle_best(pairs[0][1], kmap, 21, index.n_features)
+        assert set(np.nonzero(member[0])[0]) == (f1 & f2)
+
+    def test_require_valid_pair(self, hla_like):
+        rng = np.random.default_rng(37)
+        src = hla_like[0]
+        junk = rand_seq(rng, 100)
+        pairs = [(src[0:100], junk)]
+        cfg = Config(
+            score_threshold=20, score_filter=0, score_percent=0.0, require_valid_pair=True
+        )
+        _, out = self.run_paired(hla_like, pairs, cfg)
+        assert not out["pass_"].any()
+        cfg2 = Config(score_threshold=20, score_filter=0, score_percent=0.0)
+        _, out2 = self.run_paired(hla_like, pairs, cfg2)
+        assert out2["pass_"].all()  # r1 alone carries the pair
+
+
+class TestEmission:
+    def test_resolve_features_group_on(self):
+        rng = np.random.default_rng(41)
+        seqs = [rand_seq(rng, 200) for _ in range(4)]
+        data = make_data(
+            seqs, names=["a1", "a2", "b1", "b2"],
+            extra={"lineage": ["L1", "L1", "L2", "L2"]},
+        )
+        cfg = Config(group_on="lineage")
+        index = build_index(data, cfg, k=15)
+        # bitset with features {a1, a2} -> group L1 only
+        bits = np.zeros((2, index.bitset_words), dtype=np.uint32)
+        bits[0, 0] = 0b0011  # a1, a2
+        bits[1, 0] = 0b0110  # a2, b1
+        emit = EmitConfig(True, False, 0, 10)
+        feats, keep = resolve_features(index, bits, emit)
+        assert feats[0] == "L1"
+        assert feats[1] == "L1,L2"
+        assert keep.all()
+
+    def test_resolve_features_filters(self):
+        rng = np.random.default_rng(43)
+        seqs = [rand_seq(rng, 200) for _ in range(3)]
+        index = build_index(make_data(seqs), Config(), k=15)
+        bits = np.zeros((3, index.bitset_words), dtype=np.uint32)
+        bits[0, 0] = 0b001
+        bits[1, 0] = 0b011
+        bits[2, 0] = 0b111
+        feats, keep = resolve_features(index, bits, EmitConfig(False, True, 0, 10))
+        assert keep.tolist() == [True, False, False]  # discard_multiple_matches
+        feats, keep = resolve_features(index, bits, EmitConfig(False, False, 2, 10))
+        assert keep.tolist() == [True, True, False]  # discard_multi_hits=2
+        feats, keep = resolve_features(index, bits, EmitConfig(False, False, 0, 2))
+        assert keep.tolist() == [True, True, False]  # max_hits_to_report=2
+        assert feats[1] == "f0,f1"
