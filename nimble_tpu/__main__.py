@@ -1,0 +1,128 @@
+"""nimble_tpu CLI — drop-in replacement for the reference's subcommand surface
+(reference: nimble/__main__.py:373-468): download (compat no-op), generate,
+align, report, plot, fastq-to-bam; plus nimble_tpu extensions: index
+(prebuild + persist the device index) and bench.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="nimble_tpu", description="nimble_tpu align")
+    from nimble_tpu import __version__
+
+    parser.add_argument("-v", "--version", action="version", version=f"nimble_tpu {__version__}")
+    subparsers = parser.add_subparsers(title="subcommands", dest="subcommand")
+
+    # download: the reference fetches a prebuilt Rust binary; our aligner is
+    # built in. Kept for pipeline compatibility.
+    download_parser = subparsers.add_parser("download")
+    download_parser.add_argument("--release", type=str, default=[])
+
+    generate_parser = subparsers.add_parser("generate")
+    generate_parser.add_argument("--file", help="The file to process.", type=str, required=True)
+    generate_parser.add_argument("--opt-file", help="The optional file to process.", type=str, default=None)
+    generate_parser.add_argument("--output_path", help="The path to the output file.", type=str, required=True)
+
+    align_parser = subparsers.add_parser("align")
+    align_parser.add_argument("--reference", help="Comma-separated library JSON list.", type=str, required=True)
+    align_parser.add_argument("--output", help="The path to the output file.", type=str, required=True)
+    align_parser.add_argument("--input", help="The input reads (1-2 FASTQs or 1 BAM).", type=str, required=True, nargs="+")
+    align_parser.add_argument("-c", "--num_cores", help="Cores for host-side IO.", type=int, default=1)
+    align_parser.add_argument("--strand_filter", type=str, default="unstranded")
+    align_parser.add_argument("--trim", help="Trim config <TARGET_LENGTH>:<STRICTNESS>, comma-separated per library.", type=str, default="")
+    align_parser.add_argument("--tmpdir", help="Accepted for compatibility (no BAM sort needed).", type=str, default=None)
+    align_parser.add_argument("--max-read-length", type=int, default=256)
+    align_parser.add_argument("--chunk-size", type=int, default=4096)
+
+    report_parser = subparsers.add_parser("report")
+    report_parser.add_argument("-i", "--input", type=str, required=True)
+    report_parser.add_argument("-o", "--output", type=str, required=True)
+    report_parser.add_argument("-s", "--summarize", help="CSV list of columns to summarize.", type=str, default=None)
+    report_parser.add_argument("-t", "--threshold", type=float, default=0.05)
+    report_parser.add_argument("--disable_thresholding", action="store_true", default=False)
+
+    plot_parser = subparsers.add_parser("plot")
+    plot_parser.add_argument("--input_file", type=str, required=True)
+    plot_parser.add_argument("--output_file", type=str, required=True)
+
+    f2b_parser = subparsers.add_parser("fastq-to-bam")
+    f2b_parser.add_argument("--r1-fastq", type=str, required=True)
+    f2b_parser.add_argument("--r2-fastq", type=str, required=True)
+    f2b_parser.add_argument("--map", required=True, help="Cell barcode whitelist (one CB per line, .gz or plain)")
+    f2b_parser.add_argument("--output", type=str, required=True)
+    f2b_parser.add_argument("-c", "--num_cores", type=int, default=1)
+    f2b_parser.add_argument("--cb-length", type=int, default=16)
+    f2b_parser.add_argument("--umi-length", type=int, default=12)
+
+    index_parser = subparsers.add_parser("index", help="Prebuild and persist a device index (.npz)")
+    index_parser.add_argument("--reference", type=str, required=True)
+    index_parser.add_argument("--output", type=str, required=True)
+    index_parser.add_argument("--kmer-length", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.subcommand == "download":
+        print("nimble_tpu's aligner is built in; nothing to download.")
+        return 0
+    if args.subcommand == "generate":
+        from nimble_tpu.library import generate
+
+        generate(args.file, args.opt_file, args.output_path)
+        return 0
+    if args.subcommand == "align":
+        from nimble_tpu.align.pipeline import align_files
+
+        return align_files(
+            args.reference,
+            args.output,
+            args.input,
+            strand_filter=args.strand_filter,
+            chunk_size=args.chunk_size,
+            max_len=args.max_read_length,
+        )
+    if args.subcommand == "report":
+        from nimble_tpu.report.tsv import report
+
+        summarize_columns_list = args.summarize.split(",") if args.summarize else None
+        report(args.input, args.output, summarize_columns_list, args.threshold, args.disable_thresholding)
+        return 0
+    if args.subcommand == "plot":
+        from nimble_tpu.report.plots import plot_command
+
+        plot_command(args.input_file, args.output_file)
+        return 0
+    if args.subcommand == "fastq-to-bam":
+        from nimble_tpu.barcode import fastq_to_bam_with_barcodes
+
+        fastq_to_bam_with_barcodes(
+            args.r1_fastq,
+            args.r2_fastq,
+            args.map,
+            args.output,
+            args.num_cores,
+            args.cb_length,
+            args.umi_length,
+        )
+        return 0
+    if args.subcommand == "index":
+        from nimble_tpu.config import load_library
+        from nimble_tpu.index.builder import build_index
+
+        config, data = load_library(args.reference)
+        idx = build_index(data, config, k=args.kmer_length)
+        idx.save(args.output)
+        print(
+            f"Indexed {idx.n_kmers} k-mers, {idx.n_features} features, "
+            f"{idx.n_classes} classes -> {args.output}"
+        )
+        return 0
+
+    parser.print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -263,13 +263,17 @@ def align_step(tables, p: AlignParams, r1_codes, r1_lens, r2_codes=None, r2_lens
         inter = b1 & b2
         both = valid1 & valid2
         single = jnp.where(valid1[:, None], b1, b2)
-        if p.intersect_level == 0:
-            bits = jnp.where(both[:, None], union, single)
-        elif p.intersect_level == 1:
+        # mate hit-set combination (kallisto-style mate intersection):
+        #   0: intersect; empty intersection -> unmapped pair
+        #   1: intersect with fallback to the union when empty
+        #   2: force concordance: both mates must hit and intersect
+        if p.intersect_level == 1:
             inter_nonempty = jnp.any(inter != 0, axis=1)
             paired = jnp.where(inter_nonempty[:, None], inter, union)
             bits = jnp.where(both[:, None], paired, single)
-        else:  # strict intersection
+        elif p.intersect_level == 2:
+            bits = jnp.where(both[:, None], inter, jnp.int32(0))
+        else:
             bits = jnp.where(both[:, None], inter, single)
         score = jnp.where(valid1, score1, 0) + jnp.where(valid2, score2, 0)
         any_valid = valid1 | valid2

@@ -1,0 +1,287 @@
+"""10x FASTQ -> unaligned CB/UB-tagged BAM with whitelist barcode correction.
+
+Replaces the reference's per-read threaded processor (reference:
+nimble/fastq_barcode_processor.py) with a fully vectorized design: barcodes
+are 2-bit packed into uint64 codes, exact matches resolve via a sorted-array
+binary search, and Hamming-1 candidates are enumerated as XOR bit-flips of
+the packed code (3 per position) — no 64-variant dict of the whole whitelist
+(the reference builds |whitelist| x 64 dict entries up front; reference:
+fastq_barcode_processor.py:17-36).
+
+Correction semantics (reference: fastq_barcode_processor.py:73-128):
+exact match, else unique Hamming-1 whitelist neighbor, else the neighbor
+whose differing base has the lowest Phred quality. Quality ties break
+deterministically by (position, base) — the reference's tie order is Python
+set-iteration order, i.e. effectively arbitrary.
+"""
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nimble_tpu import seq as seqmod
+from nimble_tpu.io.fastq import iter_fastq_chunks
+
+
+def _pack_codes(codes: np.ndarray) -> np.ndarray:
+    """(n, L) 2-bit base codes (no Ns) -> (n,) uint64 packed, first base in
+    the high bits. Requires L <= 31."""
+    n, L = codes.shape
+    out = np.zeros(n, dtype=np.uint64)
+    c = codes.astype(np.uint64)
+    for j in range(L):
+        out |= (c[:, j] & np.uint64(3)) << np.uint64(2 * (L - 1 - j))
+    return out
+
+
+class Whitelist:
+    """Sorted packed-code whitelist supporting vectorized exact and
+    Hamming-1 lookups."""
+
+    def __init__(self, barcodes: List[str], cb_length: int):
+        self.cb_length = cb_length
+        codes, lens = seqmod.encode_batch(barcodes, cb_length)
+        if (lens != cb_length).any() or (codes == seqmod.N_CODE).any():
+            raise ValueError("whitelist entries must be pure ACGT of the CB length")
+        self.sorted_codes = np.sort(_pack_codes(codes))
+        self.size = self.sorted_codes.shape[0]
+
+    def contains(self, packed: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.sorted_codes, packed)
+        idx_c = np.minimum(idx, self.size - 1)
+        return (self.size > 0) & (self.sorted_codes[idx_c] == packed)
+
+
+def load_whitelist(path: str, cb_length: int = 16) -> Whitelist:
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    barcodes = []
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                barcodes.append(line)
+    print(f"Loaded whitelist from {path}")
+    print(f"  Valid cell barcodes: {len(barcodes)}")
+    return Whitelist(barcodes, cb_length)
+
+
+class BarcodeCorrector:
+    """Vectorized 10x-style CB correction."""
+
+    def __init__(self, whitelist: Whitelist):
+        self.wl = whitelist
+        self.L = whitelist.cb_length
+
+    def correct_chunk(
+        self, raw_cbs: np.ndarray, quals: np.ndarray, stats: Dict[str, int]
+    ) -> List[Optional[str]]:
+        """raw_cbs: (n, L) int8 codes (may contain N); quals: (n, L) uint8
+        phred. Returns corrected CB strings (or None) per read and updates
+        correction statistics."""
+        n = raw_cbs.shape[0]
+        L = self.L
+        n_mask = raw_cbs == seqmod.N_CODE
+        n_counts = n_mask.sum(axis=1)
+        # pack with N forced to base A; exactness guarded by n_counts == 0
+        packed = _pack_codes(np.where(n_mask, 0, raw_cbs))
+
+        exact = (n_counts == 0) & self.wl.contains(packed)
+
+        out: List[Optional[str]] = [None] * n
+        results_code = np.full(n, np.uint64(0), dtype=np.uint64)
+        resolved = exact.copy()
+        results_code[exact] = packed[exact]
+
+        todo = np.nonzero(~resolved & (n_counts <= 1))[0]
+        if todo.size:
+            sub_packed = packed[todo]
+            sub_nmask = n_mask[todo]
+            sub_ncount = n_counts[todo]
+            # enumerate Hamming-1 variants: 3 XOR deltas per position
+            deltas = np.array([1, 2, 3], dtype=np.uint64)
+            shifts = np.uint64(2) * (np.uint64(L - 1) - np.arange(L, dtype=np.uint64))
+            all_var = sub_packed[:, None, None] ^ (
+                deltas[None, None, :] << shifts[None, :, None]
+            )  # (m, L, 3)
+            member = self.wl.contains(all_var.reshape(-1)).reshape(-1, L, 3)
+            # reads containing one N may only vary at the N position (the
+            # packed code holds 'A' there, so its 3 variants + identity cover
+            # the 4 bases); reads with 0 Ns may vary anywhere.
+            has_n = sub_nmask.any(axis=1)
+            member &= np.where(has_n[:, None, None], sub_nmask[:, :, None], True)
+            # a one-N read's packed code itself (N->A) is also a candidate
+            self_ok = (sub_ncount == 1) & self.wl.contains(sub_packed)
+
+            counts = member.reshape(member.shape[0], -1).sum(axis=1) + self_ok
+            for local_i, count in enumerate(counts):
+                if count == 0:
+                    continue
+                i = todo[local_i]
+                if count == 1:
+                    if self_ok[local_i] and not member[local_i].any():
+                        results_code[i] = sub_packed[local_i]
+                    else:
+                        p, d = np.argwhere(member[local_i])[0]
+                        results_code[i] = sub_packed[local_i] ^ (
+                            deltas[d] << shifts[p]
+                        )
+                    resolved[i] = True
+                else:
+                    # multiple candidates: lowest quality at differing pos;
+                    # ties by (position, delta)
+                    best = None
+                    if self_ok[local_i]:
+                        p = int(np.argwhere(sub_nmask[local_i])[0][0])
+                        best = (int(quals[i, p]), p, -1, sub_packed[local_i])
+                    for p, d in np.argwhere(member[local_i]):
+                        cand = (
+                            int(quals[i, p]),
+                            int(p),
+                            int(d),
+                            sub_packed[local_i] ^ (deltas[d] << shifts[p]),
+                        )
+                        if best is None or cand[:3] < best[:3]:
+                            best = cand
+                    results_code[i] = best[3]
+                    resolved[i] = True
+
+        stats["cb_perfect_match"] += int(exact.sum())
+        stats["cb_corrected"] += int((resolved & ~exact).sum())
+        stats["cb_no_correction"] += int((~resolved).sum())
+
+        # decode resolved codes to strings
+        res_idx = np.nonzero(resolved)[0]
+        if res_idx.size:
+            codes = results_code[res_idx]
+            chars = np.empty((res_idx.size, L), dtype=np.int8)
+            for j in range(L):
+                chars[:, j] = (
+                    (codes >> np.uint64(2 * (L - 1 - j))) & np.uint64(3)
+                ).astype(np.int8)
+            for row, i in enumerate(res_idx):
+                out[i] = seqmod.decode(chars[row])
+        return out
+
+
+def fastq_to_bam_with_barcodes(
+    r1_fastq: str,
+    r2_fastq: str,
+    cb_whitelist_file: str,
+    output_bam: str,
+    num_cores: int = 1,
+    cb_length: int = 16,
+    umi_length: int = 12,
+) -> None:
+    """The fastq-to-bam subcommand (reference: fastq_barcode_processor.py:
+    212-320): paired 10x FASTQ -> unaligned BAM with corrected CB + raw UB
+    tags, flags 77/141, SO:queryname header."""
+    from nimble_tpu.io.bam import BamRecord, BamWriter
+
+    print("Loading cell barcode whitelist...")
+    wl = load_whitelist(cb_whitelist_file, cb_length)
+    corrector = BarcodeCorrector(wl)
+    stats: Dict[str, int] = defaultdict(int)
+    barcode_length = cb_length + umi_length
+
+    header_text = (
+        "@HD\tVN:1.6\tSO:queryname\n"
+        "@PG\tID:nimble-fastq-to-bam\tPN:nimble_tpu\tVN:1.2\t"
+        "CL:whitelist-based CB correction\n"
+    )
+
+    print(f"Processing paired FASTQ files...")
+    writer = BamWriter(output_bam, header_text)
+    try:
+        r1_iter = iter_fastq_chunks(r1_fastq, 1 << 15)
+        r2_iter = iter_fastq_chunks(r2_fastq, 1 << 15)
+        for c1 in r1_iter:
+            c2 = next(r2_iter, None)
+            if c2 is None:
+                break
+            nrec = min(len(c1), len(c2))
+            stats["total_pairs"] += nrec
+
+            # vectorized CB/qual extraction over the chunk
+            keep: List[int] = []
+            names: List[str] = []
+            for i in range(nrec):
+                n1 = c1.names[i].decode()
+                n2 = c2.names[i].decode()
+                n1 = n1[:-2] if n1.endswith("/1") else n1
+                n2 = n2[:-2] if n2.endswith("/2") else n2
+                if n1 != n2:
+                    stats["name_mismatch"] += 1
+                    continue
+                if len(c1.seqs[i]) < barcode_length:
+                    stats["too_short"] += 1
+                    continue
+                if len(c1.seqs[i]) == barcode_length:
+                    stats["no_remaining_seq"] += 1
+                    continue
+                keep.append(i)
+                names.append(n1)
+            if not keep:
+                continue
+
+            cb_codes = np.full((len(keep), cb_length), seqmod.N_CODE, dtype=np.int8)
+            cb_quals = np.zeros((len(keep), cb_length), dtype=np.uint8)
+            for row, i in enumerate(keep):
+                cb_codes[row] = seqmod.encode(c1.seqs[i][:cb_length])
+                q = c1.quals[i][:cb_length]
+                cb_quals[row, : len(q)] = np.frombuffer(q, dtype=np.uint8) - 33
+
+            corrected = corrector.correct_chunk(cb_codes, cb_quals, stats)
+
+            for row, i in enumerate(keep):
+                cb = corrected[row]
+                if cb is None:
+                    continue
+                umi = c1.seqs[i][cb_length:barcode_length].decode()
+                r1_seq = c1.seqs[i][barcode_length:].decode()
+                r1_qual = bytes(
+                    b - 33 for b in c1.quals[i][barcode_length:]
+                )
+                r2_seq = c2.seqs[i].decode()
+                r2_qual = bytes(b - 33 for b in c2.quals[i])
+                tags = {"CB": cb, "UB": umi}
+                writer.write(
+                    BamRecord(names[row], 77, r1_seq, r1_qual, tags=dict(tags))
+                )
+                writer.write(
+                    BamRecord(names[row], 141, r2_seq, r2_qual, tags=dict(tags))
+                )
+                stats["written_pairs"] += 1
+
+            if stats["total_pairs"] % 1_000_000 < nrec:
+                print(f"Processed {stats['total_pairs']} read pairs...")
+    finally:
+        writer.close()
+
+    print("\n=== Processing Statistics ===")
+    print(f"Total read pairs: {stats.get('total_pairs', 0)}")
+    print(f"Written pairs: {stats.get('written_pairs', 0)}")
+    print(f"\nCell Barcode Correction:")
+    print(f"  Perfect matches: {stats.get('cb_perfect_match', 0)}")
+    print(f"  Corrected (1-edit): {stats.get('cb_corrected', 0)}")
+    print(f"  No valid correction: {stats.get('cb_no_correction', 0)}")
+    total_cb = (
+        stats.get("cb_perfect_match", 0)
+        + stats.get("cb_corrected", 0)
+        + stats.get("cb_no_correction", 0)
+    )
+    if total_cb > 0:
+        print(
+            f"  Correction rate: {100.0 * stats.get('cb_perfect_match', 0) / total_cb:.2f}% perfect, "
+            f"{100.0 * stats.get('cb_corrected', 0) / total_cb:.2f}% corrected, "
+            f"{100.0 * stats.get('cb_no_correction', 0) / total_cb:.2f}% dropped"
+        )
+    print(f"\nOther filters:")
+    print(f"  Name mismatch: {stats.get('name_mismatch', 0)}")
+    print(f"  Too short: {stats.get('too_short', 0)}")
+    print(f"  No remaining sequence: {stats.get('no_remaining_seq', 0)}")
+    print(f"\nOutput BAM written to: {output_bam}")

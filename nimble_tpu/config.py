@@ -34,9 +34,10 @@ class Config:
       num_mismatches: number of mismatches tolerated during k-mer matching
         (implemented via Hamming-neighborhood index expansion).
       discard_multiple_matches: drop reads whose hit set has >1 feature.
-      intersect_level: how r1/r2 hit sets combine: 0 = union of mate hits,
-        1 = intersection with fallback to union when empty, 2 = strict
-        intersection.
+      intersect_level: how r1/r2 hit sets combine (kallisto-style mate
+        intersection): 0 = intersect, empty -> unmapped; 1 = intersect with
+        fallback to the union when empty; 2 = force concordance (both mates
+        must hit and intersect).
       group_on: metadata column name to collapse hits onto (e.g. allele ->
         lineage); empty string = report sequence_name-level hits.
       discard_multi_hits: if > 0, drop reads whose hit set exceeds this size.

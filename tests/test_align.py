@@ -189,9 +189,8 @@ class TestPaired:
         c2, l2 = seqmod.encode_batch([p[1] for p in pairs], max_len)
         return index, engine.align_batch(c1, l1, c2, l2)
 
-    def test_pair_union_level0(self, hla_like):
-        rng = np.random.default_rng(31)
-        # r1 from feature set A, r2 from same source region (consistent)
+    def test_pair_intersection_level0(self, hla_like):
+        # default: kallisto-style mate intersection
         src = hla_like[0]
         pairs = [(src[0:100], seqmod.revcomp(src[150:250])) for _ in range(4)]
         cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, intersect_level=0)
@@ -201,19 +200,29 @@ class TestPaired:
         member = decode_bitsets(out["bits"], index.n_features)
         _, f1, _, _ = oracle_best(pairs[0][0], kmap, 21, index.n_features)
         _, f2, _, _ = oracle_best(pairs[0][1], kmap, 21, index.n_features)
-        assert set(np.nonzero(member[0])[0]) == (f1 | f2)
+        assert set(np.nonzero(member[0])[0]) == (f1 & f2)
         assert out["score"][0] == 200
 
-    def test_pair_intersection_level2(self, hla_like):
+    def test_pair_union_fallback_level1(self, hla_like):
         src = hla_like[0]
         pairs = [(src[0:100], seqmod.revcomp(src[150:250]))]
-        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, intersect_level=2)
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, intersect_level=1)
         index, out = self.run_paired(hla_like, pairs, cfg)
         kmap = oracle_kmer_map(hla_like, 21)
         member = decode_bitsets(out["bits"], index.n_features)
         _, f1, _, _ = oracle_best(pairs[0][0], kmap, 21, index.n_features)
         _, f2, _, _ = oracle_best(pairs[0][1], kmap, 21, index.n_features)
-        assert set(np.nonzero(member[0])[0]) == (f1 & f2)
+        expected = (f1 & f2) if (f1 & f2) else (f1 | f2)
+        assert set(np.nonzero(member[0])[0]) == expected
+
+    def test_pair_force_level2_drops_single_mate(self, hla_like):
+        rng = np.random.default_rng(53)
+        src = hla_like[0]
+        junk = rand_seq(rng, 100)
+        pairs = [(src[0:100], junk)]
+        cfg = Config(score_threshold=20, score_filter=0, score_percent=0.0, intersect_level=2)
+        _, out = self.run_paired(hla_like, pairs, cfg)
+        assert not out["pass_"].any()
 
     def test_require_valid_pair(self, hla_like):
         rng = np.random.default_rng(37)

@@ -1,0 +1,114 @@
+"""Barcode correction tests: exact / Hamming-1 / quality tiebreak / N
+handling, and the fastq-to-bam end-to-end flow (reference semantics:
+fastq_barcode_processor.py:73-141)."""
+import gzip
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from nimble_tpu import seq as seqmod
+from nimble_tpu.barcode import (
+    BarcodeCorrector,
+    Whitelist,
+    fastq_to_bam_with_barcodes,
+    load_whitelist,
+)
+from nimble_tpu.io.bam import BamReader
+from nimble_tpu.io.fastq import write_fastq
+
+
+WL = ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT"]
+
+
+def correct_one(cb, quals=None, wl=None):
+    w = Whitelist(wl or WL, 4)
+    corr = BarcodeCorrector(w)
+    codes = seqmod.encode(cb).reshape(1, -1)
+    q = np.array([quals or [30] * 4], dtype=np.uint8)
+    stats = defaultdict(int)
+    return corr.correct_chunk(codes, q, stats)[0], stats
+
+
+def test_exact_match():
+    got, stats = correct_one("ACGT")
+    assert got == "ACGT"
+    assert stats["cb_perfect_match"] == 1
+
+
+def test_unique_hamming1():
+    got, stats = correct_one("AAAC")  # 1 edit from AAAA only
+    assert got == "AAAA"
+    assert stats["cb_corrected"] == 1
+
+
+def test_no_correction():
+    got, stats = correct_one("AGGT")  # distance 1 from ACGT? A_GT: AGGT vs ACGT differs at pos1 only -> corrects
+    assert got == "ACGT"
+    got, stats = correct_one("AGCA")  # >=2 from everything
+    assert got is None
+    assert stats["cb_no_correction"] == 1
+
+
+def test_quality_tiebreak():
+    # ACGG is Hamming-1 from both ACGT (pos 3) and GGGG? no: ACGG vs GGGG
+    # differs at 0,1 -> only ACGT. Use a whitelist making two candidates:
+    wl = ["AACC", "TACC", "ATCC"]
+    # raw "AACC" is exact; raw "TTCC"? vs TACC differs pos1; vs ATCC differs pos0.
+    got, _ = correct_one("TTCC", quals=[10, 30, 30, 30], wl=wl)
+    assert got == "ATCC"  # pos0 has lower quality -> flip pos0
+    got, _ = correct_one("TTCC", quals=[30, 10, 30, 30], wl=wl)
+    assert got == "TACC"  # pos1 lower
+
+
+def test_n_single():
+    got, _ = correct_one("ACGN")  # N at pos3: ACGT matches
+    assert got == "ACGT"
+    got, _ = correct_one("NNGT")  # two Ns -> unrecoverable
+    assert got is None
+
+
+def test_n_self_identity():
+    # N at a position where 'A' completes a whitelist entry
+    got, _ = correct_one("NAAA")
+    assert got == "AAAA"
+
+
+def test_fastq_to_bam_end_to_end(tmp_path):
+    cb = "AAAACCCCGGGGTTTT"  # 16bp
+    umi = "ACGTACGTACGT"  # 12bp
+    cdna = "TGCATGCATGCATGCATGCA"
+    r1_seq = cb + umi + cdna
+    r2_seq = "GGGGCCCCAAAATTTTGGCC"
+    qual = "I" * len(r1_seq)
+
+    r1 = str(tmp_path / "r1.fastq")
+    r2 = str(tmp_path / "r2.fastq")
+    wl_path = str(tmp_path / "wl.txt")
+    out = str(tmp_path / "out.bam")
+
+    write_fastq(r1, [("readA/1", r1_seq, qual), ("readB/1", "N" * 10, "I" * 10)])
+    write_fastq(r2, [("readA/2", r2_seq, "I" * len(r2_seq)), ("readB/2", r2_seq, "I" * len(r2_seq))])
+    with open(wl_path, "w") as f:
+        f.write(cb + "\n" + "T" * 16 + "\n")
+
+    fastq_to_bam_with_barcodes(r1, r2, wl_path, out, cb_length=16, umi_length=12)
+
+    recs = list(BamReader(out))
+    assert len(recs) == 2  # readB dropped (too short); readA pair written
+    a, b = recs
+    assert a.name == b.name == "readA"
+    assert a.flag == 77 and b.flag == 141
+    assert a.seq == cdna
+    assert b.seq == r2_seq
+    assert a.tags["CB"] == cb
+    assert a.tags["UB"] == umi
+    assert len(a.qual) == len(cdna)
+
+
+def test_load_whitelist_gz(tmp_path):
+    p = str(tmp_path / "wl.txt.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("AAAA\nCCCC\n")
+    wl = load_whitelist(p, 4)
+    assert wl.size == 2
