@@ -309,22 +309,40 @@ class AlignEngine:
         chunk_size: int = 2048,
         max_len: int = 256,
         paired: bool = False,
+        mesh=None,
     ):
         self.index = index
         self.config = config
         self.params = AlignParams.from_config(config, index, strand_filter)
-        self.chunk_size = chunk_size
         self.max_len = max(max_len, index.k)
         self.paired = paired
-        self.tables = _device_tables(index)
+        self.mesh = mesh
+
+        if mesh is not None:
+            from nimble_tpu.parallel.mesh import shard_tables
+
+            # chunk must tile the data axis
+            chunk_size = -(-chunk_size // mesh.n_data) * mesh.n_data
+            self.tables = shard_tables(_device_tables(index), mesh)
+            in_shardings = [mesh.batch_sharded, mesh.data_sharded]
+            if paired:
+                in_shardings += [mesh.batch_sharded, mesh.data_sharded]
+            jit_kwargs = dict(in_shardings=tuple([None] + in_shardings))
+        else:
+            self.tables = _device_tables(index)
+            jit_kwargs = {}
+        self.chunk_size = chunk_size
 
         p = self.params
         if paired:
             self._fn = jax.jit(
-                lambda t, c1, l1, c2, l2: align_step(t, p, c1, l1, c2, l2)
+                lambda t, c1, l1, c2, l2: align_step(t, p, c1, l1, c2, l2),
+                **jit_kwargs,
             )
         else:
-            self._fn = jax.jit(lambda t, c1, l1: align_step(t, p, c1, l1))
+            self._fn = jax.jit(
+                lambda t, c1, l1: align_step(t, p, c1, l1), **jit_kwargs
+            )
 
     def _pad(self, arr, n, fill):
         if arr.shape[0] == n:
