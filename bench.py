@@ -40,6 +40,12 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def jnp_reshape_flat(v):
+    import jax.numpy as jnp
+
+    return jnp.reshape(v, (-1,))
+
+
 def build_workload():
     from nimble_tpu import seq as seqmod
     from nimble_tpu.config import Config, Data
@@ -97,17 +103,16 @@ def main():
     index, config, codes, lens = build_workload()
     engine = AlignEngine(index, config, chunk_size=CHUNK, max_len=READ_LEN)
 
-    # warmup / compile
-    t0 = time.time()
-    out = engine.align_batch(codes[:CHUNK], lens[:CHUNK])
-    log(f"compile+first chunk: {time.time() - t0:.2f}s; "
-        f"pass rate {out['pass_'].mean():.3f}")
-
-    # steady-state: device-resident inputs, async dispatch, one final sync
+    # warmup / compile on device-resident inputs (compiling against host
+    # numpy inputs first can pin an executable whose input layouts force a
+    # per-call relayout of device arrays afterwards)
     c_dev = jax.device_put(codes[:CHUNK])
     l_dev = jax.device_put(lens[:CHUNK])
+    t0 = time.time()
     r = engine._fn(engine.tables, c_dev, l_dev)
     jax.block_until_ready(r)
+    log(f"compile+first chunk: {time.time() - t0:.2f}s; "
+        f"pass rate {np.asarray(jnp_reshape_flat(r['pass_'])).mean():.3f}")
 
     iters = max(4, N_READS // CHUNK)
     t0 = time.time()

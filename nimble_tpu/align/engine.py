@@ -96,6 +96,17 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _to_host(v) -> np.ndarray:
+    """Device -> host transfer. Small 2D outputs are flattened on device
+    first: device->host copies of tiled 2D layouts go through a
+    pathologically slow relayout on some PJRT backends (observed minutes on
+    the axon tunnel), while 1D transfers are instant."""
+    if v.ndim >= 2:
+        flat = np.asarray(jnp.reshape(v, (-1,)))
+        return flat.reshape(v.shape)
+    return np.asarray(v)
+
+
 def kmer_hi_lo(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
     """(B, L) int8 base codes -> k-mer (hi, lo) uint32 codes at each of
     P = L-k+1 positions, plus validity. Bit layout: first base in the high
@@ -370,7 +381,9 @@ class AlignEngine:
                 out = self._fn(self.tables, c1, l1, c2, l2)
             else:
                 out = self._fn(self.tables, c1, l1)
-            outs.append({k: np.asarray(v)[: end - start] for k, v in out.items()})
+            outs.append(
+                {k: _to_host(v)[: end - start] for k, v in out.items()}
+            )
         if not outs:
             return None
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
