@@ -238,14 +238,24 @@ def align_files(
                 inputs[0], batch_records=batch_records, max_len=max_len
             )
         else:
-            from nimble_tpu.io.fastq import FastqReader
+            from nimble_tpu.io import native
 
-            reader = FastqReader(
-                inputs[0],
-                inputs[1] if len(inputs) == 2 else None,
-                batch_size=batch_records,
-                max_len=max_len,
-            )
+            if native.available():
+                reader = native.NativeFastqReader(
+                    inputs[0],
+                    inputs[1] if len(inputs) == 2 else None,
+                    batch_size=batch_records,
+                    max_len=max_len,
+                )
+            else:
+                from nimble_tpu.io.fastq import FastqReader
+
+                reader = FastqReader(
+                    inputs[0],
+                    inputs[1] if len(inputs) == 2 else None,
+                    batch_size=batch_records,
+                    max_len=max_len,
+                )
             batches = iter(reader)
         for batch in batches:
             total += batch["r1_codes"].shape[0]

@@ -1,0 +1,184 @@
+"""ctypes bindings for the C++ native IO layer (native/nimble_native.cpp).
+
+Loads (building on first use if the toolchain is present) libnimble_native.so
+and exposes a native FASTQ batch reader with the same batch-dict interface as
+the pure-Python nimble_tpu.io.fastq.FastqReader. Falls back gracefully:
+`available()` gates every caller.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libnimble_native.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.nt_fastq_open.restype = ctypes.c_void_p
+    lib.nt_fastq_open.argtypes = [ctypes.c_char_p]
+    lib.nt_fastq_close.argtypes = [ctypes.c_void_p]
+    lib.nt_fastq_read_batch.restype = ctypes.c_int64
+    lib.nt_fastq_read_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeFastqFile:
+    """Streaming native FASTQ reader producing (codes, lens, raw, offs)."""
+
+    def __init__(self, path: str, batch_records: int, max_len: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._handle = lib.nt_fastq_open(path.encode())
+        if not self._handle:
+            raise FileNotFoundError(path)
+        self.batch_records = batch_records
+        self.max_len = max_len
+        self._raw_cap = batch_records * 1024 + (1 << 21)
+
+    def read_batch(self):
+        n = self.batch_records
+        codes = np.empty((n, self.max_len), dtype=np.int8)
+        lens = np.empty(n, dtype=np.int32)
+        raw = np.empty(self._raw_cap, dtype=np.uint8)
+        offs = np.empty(n * 3, dtype=np.int64)
+        got = self._lib.nt_fastq_read_batch(
+            self._handle,
+            n,
+            self.max_len,
+            codes.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            raw.ctypes.data_as(ctypes.c_void_p),
+            self._raw_cap,
+            offs.ctypes.data_as(ctypes.c_void_p),
+        )
+        if got < 0:
+            raise RuntimeError("FASTQ record exceeds 1 MiB native buffer guard")
+        if got == 0:
+            return None
+        return codes[:got], lens[:got], raw, offs[: got * 3]
+
+    def close(self):
+        if self._handle:
+            self._lib.nt_fastq_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _extract_strings(raw: np.ndarray, offs: np.ndarray, field: int, n: int):
+    """Decode NUL-terminated strings at offs[i*3+field] from the raw buffer."""
+    buf = raw.tobytes()
+    out = []
+    for i in range(n):
+        start = offs[i * 3 + field]
+        end = buf.index(b"\x00", start)
+        out.append(buf[start:end])
+    return out
+
+
+class NativeFastqReader:
+    """Drop-in replacement for io.fastq.FastqReader backed by C++.
+
+    Yields the same batch dict: r1_codes/r1_lens (+ r2_*) numpy arrays and
+    lazily-decoded names/quals.
+    """
+
+    def __init__(
+        self,
+        r1_path: str,
+        r2_path: Optional[str] = None,
+        batch_size: int = 8192,
+        max_len: int = 256,
+        with_strings: bool = False,
+    ):
+        self.r1_path = r1_path
+        self.r2_path = r2_path
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.with_strings = with_strings
+
+    def __iter__(self) -> Iterator[dict]:
+        f1 = NativeFastqFile(self.r1_path, self.batch_size, self.max_len)
+        f2 = (
+            NativeFastqFile(self.r2_path, self.batch_size, self.max_len)
+            if self.r2_path
+            else None
+        )
+        try:
+            while True:
+                b1 = f1.read_batch()
+                if b1 is None:
+                    break
+                codes, lens, raw, offs = b1
+                n = codes.shape[0]
+                batch = {"r1_codes": codes, "r1_lens": lens}
+                if self.with_strings:
+                    batch["names"] = _extract_strings(raw, offs, 0, n)
+                    batch["r1_seqs"] = _extract_strings(raw, offs, 1, n)
+                    batch["r1_quals"] = _extract_strings(raw, offs, 2, n)
+                if f2 is not None:
+                    b2 = f2.read_batch()
+                    if b2 is None or b2[0].shape[0] != n:
+                        raise ValueError(
+                            "paired FASTQ files have different record counts"
+                        )
+                    codes2, lens2, raw2, offs2 = b2
+                    batch["r2_codes"] = codes2
+                    batch["r2_lens"] = lens2
+                    if self.with_strings:
+                        batch["r2_seqs"] = _extract_strings(raw2, offs2, 1, n)
+                        batch["r2_quals"] = _extract_strings(raw2, offs2, 2, n)
+                yield batch
+        finally:
+            f1.close()
+            if f2 is not None:
+                f2.close()
