@@ -1,0 +1,108 @@
+"""Device quantification path vs the exact host oracle: count-equal on
+random workloads and the reference edge cases."""
+import numpy as np
+import pytest
+
+from nimble_tpu.quant.device import factorize, report_device
+from nimble_tpu.quant.exact import report_rows
+
+
+def to_bits(features, vocab):
+    W = max(1, -(-len(vocab) // 32))
+    out = np.zeros(W, dtype=np.int32)
+    for f in features.split(","):
+        i = vocab.index(f)
+        out[i // 32] |= np.int32(1) << np.int32(i % 32)
+    return out
+
+
+def run_both(rows, threshold, vocab=None, disable=False):
+    if vocab is None:
+        vocab = sorted({f for _, _, fs, _ in rows for f in fs.split(",")})
+    cbs = [r[0] for r in rows]
+    umis = [r[1] for r in rows]
+    bits = np.stack([to_bits(r[2], vocab) for r in rows])
+    scores = np.array([r[3] for r in rows], dtype=np.float64)
+    got = report_device(cbs, umis, bits, scores, vocab, threshold, disable)
+    expected, _ = report_rows(rows, threshold, disable)
+    return got, expected
+
+
+class TestDeviceQuant:
+    def test_basic(self):
+        rows = [
+            ("cell1", "U1", "A,B", 10),
+            ("cell1", "U1", "A,C", 20),
+            ("cell2", "U2", "D", 5),
+        ]
+        got, expected = run_both(rows, 0.2)
+        assert got == expected
+
+    def test_all_reference_pipeline_cases(self):
+        cases = [
+            ([("c1", "U1", "A,B,C", 3)], 0.4),
+            ([("c1", "U1", "A", 10)], 0.9),
+            (
+                [
+                    ("c1", "U1", "A,B", 10),
+                    ("c1", "U1", "A,C", 20),
+                    ("c2", "U2", "D,E", 30),
+                    ("c2", "U2", "D,F", 40),
+                    ("c3", "U3", "G", 50),
+                ],
+                0.2,
+            ),
+            ([("c1", "U1", "A,B", 10), ("c1", "U1", "A,B", 10)], 0.1),
+            (
+                [
+                    ("c1", "U1", "A,B", 10),
+                    ("c1", "U1", "A,C", 20),
+                    ("c1", "U2", "B,D", 15),
+                    ("c2", "U3", "E,F", 5),
+                    ("c2", "U3", "F,G", 35),
+                    ("c3", "U4", "H,I", 25),
+                    ("c3", "U5", "I,J", 15),
+                    ("c3", "U5", "H,J", 10),
+                ],
+                0.2,
+            ),
+            ([("c1", "U1", "A,B", 0), ("c1", "U1", "C,D", 20)], 0.1),
+            ([("c1", "U1", "A,B", 10)], 0.5),  # tie at boundary survives
+        ]
+        for rows, threshold in cases:
+            got, expected = run_both(rows, threshold)
+            assert got == expected, (rows, threshold, got, expected)
+
+    def test_disable_thresholding(self):
+        rows = [("c1", "U1", "A,B,C", 1)]
+        got, expected = run_both(rows, 0.4, disable=True)
+        assert got == expected == [("A,B,C", 1, "c1")]
+
+    def test_random_workload_matches_exact(self):
+        rng = np.random.default_rng(0)
+        vocab = [f"f{i:02d}" for i in range(40)]
+        rows = []
+        for cell in range(8):
+            for umi in range(30):
+                n_reads = int(rng.integers(1, 5))
+                for _ in range(n_reads):
+                    k = int(rng.integers(1, 4))
+                    feats = sorted(rng.choice(40, size=k, replace=False))
+                    rows.append(
+                        (
+                            f"cell{cell}",
+                            f"UMI{umi}",
+                            ",".join(vocab[f] for f in feats),
+                            int(rng.integers(1, 100)),
+                        )
+                    )
+        got, expected = run_both(rows, 0.05, vocab=vocab)
+        assert got == expected
+
+    def test_factorize(self):
+        codes, uniq = factorize(["b", "a", "b", "c"])
+        assert codes.tolist() == [0, 1, 0, 2]
+        assert uniq == ["b", "a", "c"]
+
+    def test_empty(self):
+        assert report_device([], [], np.zeros((0, 1)), np.zeros(0), ["A"]) == []
