@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     align_parser.add_argument("--tmpdir", help="Accepted for compatibility (no BAM sort needed).", type=str, default=None)
     align_parser.add_argument("--max-read-length", type=int, default=256)
     align_parser.add_argument("--chunk-size", type=int, default=4096)
+    align_parser.add_argument("--resume", action="store_true", default=False,
+                              help="Resume an interrupted run from its .progress.json sidecar.")
 
     report_parser = subparsers.add_parser("report")
     report_parser.add_argument("-i", "--input", type=str, required=True)
@@ -82,6 +84,7 @@ def main(argv=None) -> int:
             strand_filter=args.strand_filter,
             chunk_size=args.chunk_size,
             max_len=args.max_read_length,
+            resume=args.resume,
         )
     if args.subcommand == "report":
         from nimble_tpu.report.tsv import report

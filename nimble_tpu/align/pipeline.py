@@ -202,34 +202,80 @@ def align_files(
     chunk_size: int = 2048,
     max_len: int = 256,
     batch_records: int = 1 << 14,
+    resume: bool = False,
 ) -> int:
     """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
     library list, one output TSV per library (reference: __main__.py:153-211).
-    Returns a process exit code."""
+    Returns a process exit code.
+
+    Checkpoint/resume: a `<output>.progress.json` sidecar records the batch
+    cursor and per-library row counts after every batch (the reference's
+    only resume support is a BAM-sort `.done` sentinel; reference:
+    __main__.py:330-333). With resume=True an interrupted run fast-forwards
+    the reader, truncates any partial tail rows, and continues appending.
+    """
+    from nimble_tpu.observability import Throughput, profile, runlog
+
+    log = runlog()
     library_list = reference.split(",")
     input_ext = os.path.splitext(inputs[0])[-1].lower()
     is_bam = input_ext == ".bam"
     paired = (len(inputs) == 2) or is_bam
 
     runners: List[LibraryRunner] = []
-    for library in library_list:
-        out_append = ""
-        if len(library_list) > 1:
-            out_append = "." + os.path.splitext(os.path.basename(library))[0]
-        runners.append(
-            make_runner(
-                library,
-                append_path_string(output, out_append),
-                strand_filter=strand_filter,
-                paired=paired,
-                chunk_size=chunk_size,
-                max_len=max_len,
+    with log.stage("index_build", libraries=library_list):
+        for library in library_list:
+            out_append = ""
+            if len(library_list) > 1:
+                out_append = "." + os.path.splitext(os.path.basename(library))[0]
+            runners.append(
+                make_runner(
+                    library,
+                    append_path_string(output, out_append),
+                    strand_filter=strand_filter,
+                    paired=paired,
+                    chunk_size=chunk_size,
+                    max_len=max_len,
+                )
             )
-        )
 
-    for r in runners:
-        r.open()
+    progress_path = output + ".progress.json"
+    batches_done = 0
+    if resume and os.path.exists(progress_path):
+        import json as _json
+
+        with open(progress_path) as f:
+            prog = _json.load(f)
+        batches_done = prog.get("batches_done", 0)
+        for r in runners:
+            rows_kept = prog.get("rows_written", {}).get(r.output_path, 0)
+            if os.path.exists(r.output_path):
+                with open(r.output_path) as f:
+                    lines = f.readlines()
+                with open(r.output_path, "w") as f:
+                    f.writelines(lines[: rows_kept + 1])  # header + kept rows
+            r.rows_written = rows_kept
+        print(f"Resuming from batch {batches_done}")
+        for r in runners:
+            r._file = open(r.output_path, "a")
+    else:
+        for r in runners:
+            r.open()
+
+    def save_progress():
+        import json as _json
+
+        with open(progress_path, "w") as f:
+            _json.dump(
+                {
+                    "batches_done": batch_idx + 1,
+                    "rows_written": {r.output_path: r.rows_written for r in runners},
+                },
+                f,
+            )
+
     total = 0
+    tput = Throughput(log)
     try:
         if is_bam:
             from nimble_tpu.io.bam import iter_bam_batches
@@ -257,12 +303,22 @@ def align_files(
                     max_len=max_len,
                 )
             batches = iter(reader)
-        for batch in batches:
-            total += batch["r1_codes"].shape[0]
-            for r in runners:
-                r.process_batch(batch)
+        with profile():
+            for batch_idx, batch in enumerate(batches):
+                if batch_idx < batches_done:
+                    continue  # resume fast-forward
+                n = batch["r1_codes"].shape[0]
+                total += n
+                for r in runners:
+                    r.process_batch(batch)
+                tput.add(n)
+                save_progress()
     finally:
         for r in runners:
             r.close()
+    if os.path.exists(progress_path):
+        os.remove(progress_path)
+    stats = tput.final()
+    log.event("align_done", total=total, **stats)
     print(f"Aligned {total} read(-pair)s across {len(runners)} library(ies)")
     return 0
