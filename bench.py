@@ -114,16 +114,22 @@ def main():
     log(f"compile+first chunk: {time.time() - t0:.2f}s; "
         f"pass rate {np.asarray(jnp_reshape_flat(r['pass_'])).mean():.3f}")
 
+    # measurement forces a result-dependent device reduction + host transfer:
+    # block_until_ready alone does not reliably wait for execution through
+    # the axon relay, so untransferred timings read fantastically low.
+    import jax.numpy as jnp
+
     iters = max(4, N_READS // CHUNK)
     t0 = time.time()
-    outs = []
+    acc = None
     for _ in range(iters):
-        outs.append(engine._fn(engine.tables, c_dev, l_dev)["score"])
-    jax.block_until_ready(outs)
+        score = engine._fn(engine.tables, c_dev, l_dev)["score"]
+        acc = score if acc is None else acc + score
+    checksum = int(jnp.sum(acc))
     dt = time.time() - t0
     reads_per_s = iters * CHUNK / dt
 
-    log(f"{iters} chunks of {CHUNK} in {dt:.3f}s")
+    log(f"{iters} chunks of {CHUNK} in {dt:.3f}s (checksum {checksum})")
     result = {
         "metric": "pseudoalign+score throughput (HLA-100 library, 100bp reads)",
         "value": round(reads_per_s, 1),

@@ -85,6 +85,7 @@ def main(argv=None) -> int:
             chunk_size=args.chunk_size,
             max_len=args.max_read_length,
             resume=args.resume,
+            trim=args.trim,
         )
     if args.subcommand == "report":
         from nimble_tpu.report.tsv import report

@@ -64,9 +64,14 @@ def resolve_features(
 
     Applies group_on collapse then the set-size filters. Returns
     (feature_string per read, keep mask); dropped reads get ''.
+
+    Decoding is deduplicated over identical bitsets (reads of the same
+    ambiguity class share one decode + string join), so the cost is
+    O(unique classes) per batch, not O(reads).
     """
-    member = decode_bitsets(bits, index.n_features)
-    n = member.shape[0]
+    n = bits.shape[0]
+    uniq, inverse = np.unique(bits, axis=0, return_inverse=True)
+    member = decode_bitsets(uniq, index.n_features)
     rows, cols = np.nonzero(member)
     if emit.group_on:
         cols = index.feature_to_group[cols]
@@ -74,11 +79,11 @@ def resolve_features(
     else:
         names = index.feature_names
 
-    features: List[str] = [""] * n
-    keep = np.zeros(n, dtype=bool)
-    # split the flat nonzero list into per-read slices
-    boundaries = np.searchsorted(rows, np.arange(n + 1))
-    for i in range(n):
+    u = member.shape[0]
+    u_features: List[str] = [""] * u
+    u_keep = np.zeros(u, dtype=bool)
+    boundaries = np.searchsorted(rows, np.arange(u + 1))
+    for i in range(u):
         s, e = boundaries[i], boundaries[i + 1]
         if s == e:
             continue
@@ -89,9 +94,11 @@ def resolve_features(
             continue
         if ids.size > emit.max_hits_to_report:
             continue
-        features[i] = ",".join(sorted(names[g] for g in ids))
-        keep[i] = True
-    return features, keep
+        u_features[i] = ",".join(sorted(names[g] for g in ids))
+        u_keep[i] = True
+
+    features = [u_features[j] for j in inverse]
+    return features, u_keep[inverse]
 
 
 @dataclass
@@ -103,6 +110,7 @@ class LibraryRunner:
     engine: AlignEngine
     emit: EmitConfig
     output_path: str
+    trim_target: int = 0  # 0 = no trimming
     _file: object = None
     rows_written: int = 0
 
@@ -117,11 +125,21 @@ class LibraryRunner:
 
     def process_batch(self, batch: Dict[str, np.ndarray]) -> int:
         """Align one read batch and append passing rows to the TSV."""
+        r1_lens = batch["r1_lens"]
+        r2_lens = batch.get("r2_lens")
+        if self.trim_target > 0:
+            # read trimming [inferred semantics]: cap the aligned portion of
+            # each read at trim_target_length bases (reference exposes
+            # trim_target_length/trim_strictness + --trim; the backend's
+            # exact trimming rule is not specified by the frontend)
+            r1_lens = np.minimum(r1_lens, self.trim_target)
+            if r2_lens is not None:
+                r2_lens = np.minimum(r2_lens, self.trim_target)
         out = self.engine.align_batch(
             batch["r1_codes"],
-            batch["r1_lens"],
+            r1_lens,
             batch.get("r2_codes"),
-            batch.get("r2_lens"),
+            r2_lens,
         )
         if out is None:
             return 0
@@ -203,6 +221,7 @@ def align_files(
     max_len: int = 256,
     batch_records: int = 1 << 14,
     resume: bool = False,
+    trim: str = "",
 ) -> int:
     """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
     library list, one output TSV per library (reference: __main__.py:153-211).
@@ -222,22 +241,33 @@ def align_files(
     is_bam = input_ext == ".bam"
     paired = (len(inputs) == 2) or is_bam
 
+    # per-library trim overrides: "<TARGET_LENGTH>:<STRICTNESS>,..." in
+    # library order (reference: __main__.py:191-192,400)
+    trim_targets = {}
+    if trim:
+        for i, entry in enumerate(trim.split(",")):
+            if not entry:
+                continue
+            target = entry.split(":")[0]
+            trim_targets[i] = int(target)
+
     runners: List[LibraryRunner] = []
     with log.stage("index_build", libraries=library_list):
-        for library in library_list:
+        for lib_idx, library in enumerate(library_list):
             out_append = ""
             if len(library_list) > 1:
                 out_append = "." + os.path.splitext(os.path.basename(library))[0]
-            runners.append(
-                make_runner(
-                    library,
-                    append_path_string(output, out_append),
-                    strand_filter=strand_filter,
-                    paired=paired,
-                    chunk_size=chunk_size,
-                    max_len=max_len,
-                )
+            runner = make_runner(
+                library,
+                append_path_string(output, out_append),
+                strand_filter=strand_filter,
+                paired=paired,
+                chunk_size=chunk_size,
+                max_len=max_len,
             )
+            if lib_idx in trim_targets:
+                runner.trim_target = trim_targets[lib_idx]
+            runners.append(runner)
 
     progress_path = output + ".progress.json"
     batches_done = 0

@@ -86,3 +86,15 @@ def test_align_resume(small_workspace):
     resumed = open(out).read()
     assert resumed == full
     assert not os.path.exists(out + ".progress.json")
+
+
+def test_align_trim(small_workspace):
+    out = os.path.join(small_workspace["dir"], "trim_out.tsv")
+    # trim to 40bp: scores cap at 40
+    align_files(
+        small_workspace["library"], out, [small_workspace["fastq"]],
+        batch_records=64, trim="40:0.9",
+    )
+    lines = open(out).read().strip().split("\n")[1:]
+    scores = [int(l.split("\t")[1]) for l in lines]
+    assert scores and max(scores) <= 40
