@@ -72,22 +72,29 @@ class AlignParams:
 
 
 def _device_tables(index: KmerIndex):
-    """Index tensors as a pytree of jnp arrays (bucket-major 2D layout so a
-    probe gathers one contiguous 8-slot row per hash).
+    """Index tensors as a pytree of jnp arrays.
 
-    All gathered tables are stored as int32 bit-patterns: XLA CPU compiles
-    uint32 gathers pathologically slowly (minutes vs <1s for int32), and
-    bitwise equality / AND are sign-agnostic. Queries are bitcast before
-    comparison."""
+    The hash table ships as ONE interleaved (n_buckets, 4*BUCKET_SLOTS)
+    int32 array — row layout [hi x S | lo x S | val_same x S | val_diff x S]
+    — so a probe is a single contiguous row gather per hash candidate.
+
+    All gathered tables are stored as int32 bit-patterns: uint32 gathers
+    compile pathologically slowly in this XLA build, and bitwise equality /
+    AND are sign-agnostic. Queries are bitcast before comparison."""
     nb = index.n_buckets
+    S = BUCKET_SLOTS
+    packed = np.empty((nb, 4 * S), dtype=np.int32)
+    packed[:, 0:S] = index.table_hi.reshape(nb, S).view(np.int32)
+    packed[:, S : 2 * S] = index.table_lo.reshape(nb, S).view(np.int32)
+    packed[:, 2 * S : 3 * S] = index.table_vsame.reshape(nb, S)
+    packed[:, 3 * S : 4 * S] = index.table_vdiff.reshape(nb, S)
     as_i32 = lambda a: jnp.asarray(a.view(np.int32))
     return {
-        "hi": as_i32(index.table_hi.reshape(nb, BUCKET_SLOTS)),
-        "lo": as_i32(index.table_lo.reshape(nb, BUCKET_SLOTS)),
-        "val": jnp.asarray(index.table_val.reshape(nb, BUCKET_SLOTS)),
+        "bucket": jnp.asarray(packed),
         "stash_hi": as_i32(index.stash_hi),
         "stash_lo": as_i32(index.stash_lo),
-        "stash_val": jnp.asarray(index.stash_val),
+        "stash_vsame": jnp.asarray(index.stash_vsame),
+        "stash_vdiff": jnp.asarray(index.stash_vdiff),
         "class_bits": as_i32(index.class_bits),
     }
 
@@ -134,27 +141,86 @@ def kmer_hi_lo(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
     return hi, lo, no_n & inside
 
 
-def lookup_classes(hi, lo, valid, tables, n_buckets: int):
-    """Two-choice bucketed probe: (B, P) keys -> (B, P) class ids (-1 miss)."""
-    h1, h2 = bucket_hashes_jnp(hi, lo, n_buckets)
-    hi_i = _bitcast_i32(hi)
-    lo_i = _bitcast_i32(lo)
-    out = jnp.full(hi.shape, -1, dtype=jnp.int32)
+def revcomp_hi_lo(hi, lo, k: int):
+    """Elementwise reverse-complement of packed 2k-bit k-mer codes held as
+    (hi, lo) uint32 pairs — pure VPU bit-twiddling, no gathers.
+
+    Conceptually: complement all 64 bits, reverse 2-bit groups across the
+    64-bit word, shift right by 64-2k; garbage from the unused high bits
+    lands in the discarded low bits."""
+
+    def rev2_32(y):
+        y = ((y & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+            (y >> jnp.uint32(2)) & jnp.uint32(0x33333333)
+        )
+        y = ((y & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+            (y >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)
+        )
+        y = ((y & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+            (y >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)
+        )
+        return (y << jnp.uint32(16)) | (y >> jnp.uint32(16))
+
+    nh = rev2_32(~lo)  # reversed 64-bit: high word comes from lo
+    nl = rev2_32(~hi)
+    s = 64 - 2 * k
+    if s >= 32:
+        out_lo = nh >> jnp.uint32(s - 32) if s > 32 else nh
+        out_hi = jnp.zeros_like(nh)
+    else:
+        out_lo = (nl >> jnp.uint32(s)) | (nh << jnp.uint32(32 - s))
+        out_hi = nh >> jnp.uint32(s)
+    if 2 * k > 32:
+        out_hi = out_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+    else:
+        out_hi = jnp.zeros_like(out_hi)
+        out_lo = out_lo & jnp.uint32((1 << (2 * k)) - 1) if 2 * k < 32 else out_lo
+    return out_hi, out_lo
+
+
+def lookup_classes(hi, lo, valid, tables, n_buckets: int, k: int):
+    """Canonical two-choice probe answering BOTH read orientations at once.
+
+    (hi, lo) are FORWARD k-mer codes; the canonical code probes the table
+    whose entries carry (val_same, val_diff). Returns (cls_fwd, cls_rev)
+    int32 class ids (-1 miss): cls_fwd for the read's forward strand,
+    cls_rev for its reverse complement."""
+    rc_hi, rc_lo = revcomp_hi_lo(hi, lo, k)
+    fwd_is_canon = (hi < rc_hi) | ((hi == rc_hi) & (lo <= rc_lo))
+    palindrome = (hi == rc_hi) & (lo == rc_lo)
+    c_hi = jnp.where(fwd_is_canon, hi, rc_hi)
+    c_lo = jnp.where(fwd_is_canon, lo, rc_lo)
+
+    h1, h2 = bucket_hashes_jnp(c_hi, c_lo, n_buckets)
+    hi_i = _bitcast_i32(c_hi)
+    lo_i = _bitcast_i32(c_lo)
+    S = BUCKET_SLOTS
+    vs = jnp.full(hi.shape, -1, dtype=jnp.int32)
+    vd = jnp.full(hi.shape, -1, dtype=jnp.int32)
     for h in (h1, h2):
-        idx = h.astype(jnp.int32)
-        bk_hi = tables["hi"][idx]  # (B, P, S)
-        bk_lo = tables["lo"][idx]
-        bk_val = tables["val"][idx]
-        match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & (bk_val >= 0)
+        row = tables["bucket"][h.astype(jnp.int32)]  # (B, P, 4S)
+        bk_hi = row[..., 0:S]
+        bk_lo = row[..., S : 2 * S]
+        bk_vs = row[..., 2 * S : 3 * S]
+        bk_vd = row[..., 3 * S : 4 * S]
+        match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & (
+            (bk_vs >= 0) | (bk_vd >= 0)
+        )
         # at most one slot matches (keys are unique): max-select it
-        cand = jnp.max(jnp.where(match, bk_val, -1), axis=-1)
-        out = jnp.maximum(out, cand)
+        vs = jnp.maximum(vs, jnp.max(jnp.where(match, bk_vs, -1), axis=-1))
+        vd = jnp.maximum(vd, jnp.max(jnp.where(match, bk_vd, -1), axis=-1))
     for s in range(STASH_SIZE):
         match = (tables["stash_hi"][s] == hi_i) & (tables["stash_lo"][s] == lo_i) & (
-            tables["stash_val"][s] >= 0
+            (tables["stash_vsame"][s] >= 0) | (tables["stash_vdiff"][s] >= 0)
         )
-        out = jnp.where(match, tables["stash_val"][s], out)
-    return jnp.where(valid, out, -1)
+        vs = jnp.where(match, tables["stash_vsame"][s], vs)
+        vd = jnp.where(match, tables["stash_vdiff"][s], vd)
+
+    cls_fwd = jnp.where(fwd_is_canon, vs, vd)
+    cls_rev = jnp.where(palindrome, vs, jnp.where(fwd_is_canon, vd, vs))
+    cls_fwd = jnp.where(valid, cls_fwd, -1)
+    cls_rev = jnp.where(valid, cls_rev, -1)
+    return cls_fwd, cls_rev
 
 
 def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int):
@@ -221,15 +287,16 @@ def revcomp_device(codes: jnp.ndarray, lens: jnp.ndarray):
 
 def _score_mate(codes, lens, tables, p: AlignParams):
     """Score one mate in both orientations; returns
-    (bits, score, fwd_score, rev_score) after orientation selection."""
+    (bits, score, fwd_score, rev_score) after orientation selection.
+
+    A single canonical probe answers both orientations (cls_rev holds, at
+    forward-coordinate position p, the class matched by the reverse
+    complement's corresponding window; coverage and intersection are
+    invariant under the coordinate reflection)."""
     hi, lo, valid = kmer_hi_lo(codes, lens, p.k)
-    cls_f = lookup_classes(hi, lo, valid, tables, p.n_buckets)
+    cls_f, cls_r = lookup_classes(hi, lo, valid, tables, p.n_buckets, p.k)
     matched_f = cls_f >= 0
     score_f = coverage_score(matched_f, lens, p.k, codes.shape[1])
-
-    rc = revcomp_device(codes, lens)
-    hi_r, lo_r, valid_r = kmer_hi_lo(rc, lens, p.k)
-    cls_r = lookup_classes(hi_r, lo_r, valid_r, tables, p.n_buckets)
     matched_r = cls_r >= 0
     score_r = coverage_score(matched_r, lens, p.k, codes.shape[1])
 

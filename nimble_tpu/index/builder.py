@@ -34,26 +34,37 @@ from nimble_tpu import seq as seqmod
 from nimble_tpu.config import Config, Data
 from nimble_tpu.index.hashing import bucket_hashes_np, mix32_np
 
-BUCKET_SLOTS = 8
+BUCKET_SLOTS = 4
 STASH_SIZE = 8
 _INSERT_ROUNDS = 32
 
 
 @dataclass
 class KmerIndex:
-    """Host-side index container; fields ending in _hi/_lo/_val/_bits are the
-    tensors shipped to the device."""
+    """Host-side index container; the table fields are the tensors shipped
+    to the device.
+
+    Keys are CANONICAL k-mer codes (min of forward and reverse-complement);
+    every entry carries two class values so one probe answers both read
+    orientations: val_same = equivalence class of features whose reference
+    k-mer occurs in the canonical orientation, val_diff = class for the
+    non-canonical orientation (-1 = absent). This halves probe traffic vs a
+    forward-k-mer index queried twice (once per read orientation) and keeps
+    inverted-repeat references exact (each orientation keeps its own class).
+    """
 
     k: int
     n_buckets: int
     # hash table, flattened (n_buckets * BUCKET_SLOTS,)
-    table_hi: np.ndarray  # uint32
-    table_lo: np.ndarray  # uint32
-    table_val: np.ndarray  # int32 class id, -1 = empty
+    table_hi: np.ndarray  # uint32 canonical-code high words
+    table_lo: np.ndarray  # uint32 canonical-code low words
+    table_vsame: np.ndarray  # int32 class id for canonical orientation, -1 empty/absent
+    table_vdiff: np.ndarray  # int32 class id for the other orientation
     # overflow stash, (STASH_SIZE,)
     stash_hi: np.ndarray
     stash_lo: np.ndarray
-    stash_val: np.ndarray
+    stash_vsame: np.ndarray
+    stash_vdiff: np.ndarray
     # equivalence classes
     class_offsets: np.ndarray  # int64 (n_classes + 1,) CSR into class_features
     class_features: np.ndarray  # int32 feature ids, sorted within class
@@ -81,14 +92,19 @@ class KmerIndex:
         s, e = self.class_offsets[class_id], self.class_offsets[class_id + 1]
         return self.class_features[s:e].tolist()
 
-    # ---- host oracle lookup (mirrors the device probe exactly) ----
-    def lookup_np(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
-        """Vectorized host lookup: (hi, lo) uint32 arrays -> class ids
-        (int32, -1 for miss)."""
+    # ---- host oracle lookups (mirror the device probe exactly) ----
+    def lookup_canonical_np(
+        self, hi: np.ndarray, lo: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe CANONICAL codes: (hi, lo) uint32 -> (val_same, val_diff)
+        int32 class ids (-1 for miss/absent)."""
         hi = hi.astype(np.uint32, copy=False)
         lo = lo.astype(np.uint32, copy=False)
         h1, h2 = bucket_hashes_np(hi, lo, self.n_buckets)
-        out = np.full(hi.shape, -1, dtype=np.int32)
+        vs = np.full(hi.shape, -1, dtype=np.int32)
+        vd = np.full(hi.shape, -1, dtype=np.int32)
+        occupied_s = self.table_vsame
+        occupied_d = self.table_vdiff
         for h in (h1, h2):
             base = h.astype(np.int64) * BUCKET_SLOTS
             for s in range(BUCKET_SLOTS):
@@ -96,17 +112,32 @@ class KmerIndex:
                 match = (
                     (self.table_hi[idx] == hi)
                     & (self.table_lo[idx] == lo)
-                    & (self.table_val[idx] >= 0)
+                    & ((occupied_s[idx] >= 0) | (occupied_d[idx] >= 0))
                 )
-                out = np.where(match, self.table_val[idx], out)
+                vs = np.where(match, occupied_s[idx], vs)
+                vd = np.where(match, occupied_d[idx], vd)
         for s in range(STASH_SIZE):
             match = (
                 (self.stash_hi[s] == hi)
                 & (self.stash_lo[s] == lo)
-                & (self.stash_val[s] >= 0)
+                & ((self.stash_vsame[s] >= 0) | (self.stash_vdiff[s] >= 0))
             )
-            out = np.where(match, self.stash_val[s], out)
-        return out
+            vs = np.where(match, self.stash_vsame[s], vs)
+            vd = np.where(match, self.stash_vdiff[s], vd)
+        return vs, vd
+
+    def lookup_np(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        """Forward-orientation lookup oracle: query FORWARD k-mer codes
+        (hi, lo) uint32 -> class id of the forward match (-1 miss)."""
+        code = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        rc = seqmod.revcomp_kmer_u64(code, self.k)
+        same = code <= rc
+        canon = np.where(same, code, rc)
+        vs, vd = self.lookup_canonical_np(
+            (canon >> np.uint64(32)).astype(np.uint32),
+            (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        return np.where(same, vs, vd)
 
     def save(self, path: str) -> None:
         np.savez_compressed(
@@ -115,10 +146,12 @@ class KmerIndex:
             n_buckets=self.n_buckets,
             table_hi=self.table_hi,
             table_lo=self.table_lo,
-            table_val=self.table_val,
+            table_vsame=self.table_vsame,
+            table_vdiff=self.table_vdiff,
             stash_hi=self.stash_hi,
             stash_lo=self.stash_lo,
-            stash_val=self.stash_val,
+            stash_vsame=self.stash_vsame,
+            stash_vdiff=self.stash_vdiff,
             class_offsets=self.class_offsets,
             class_features=self.class_features,
             class_bits=self.class_bits,
@@ -137,10 +170,12 @@ class KmerIndex:
             n_buckets=int(z["n_buckets"]),
             table_hi=z["table_hi"],
             table_lo=z["table_lo"],
-            table_val=z["table_val"],
+            table_vsame=z["table_vsame"],
+            table_vdiff=z["table_vdiff"],
             stash_hi=z["stash_hi"],
             stash_lo=z["stash_lo"],
-            stash_val=z["stash_val"],
+            stash_vsame=z["stash_vsame"],
+            stash_vdiff=z["stash_vdiff"],
             class_offsets=z["class_offsets"],
             class_features=z["class_features"],
             class_bits=z["class_bits"],
@@ -245,7 +280,7 @@ def _assign_classes(
 
 
 def _build_hash_table(
-    hi: np.ndarray, lo: np.ndarray, vals: np.ndarray, n_buckets: int
+    hi: np.ndarray, lo: np.ndarray, vsame: np.ndarray, vdiff: np.ndarray, n_buckets: int
 ):
     """Greedy two-choice insertion, vectorized in rounds. Returns table
     arrays + stash arrays; raises if the stash overflows (caller grows the
@@ -253,7 +288,8 @@ def _build_hash_table(
     n_slots = n_buckets * BUCKET_SLOTS
     table_hi = np.zeros(n_slots, dtype=np.uint32)
     table_lo = np.zeros(n_slots, dtype=np.uint32)
-    table_val = np.full(n_slots, -1, dtype=np.int32)
+    table_vsame = np.full(n_slots, -1, dtype=np.int32)
+    table_vdiff = np.full(n_slots, -1, dtype=np.int32)
     loads = np.zeros(n_buckets, dtype=np.int32)
 
     h1, h2 = bucket_hashes_np(hi, lo, n_buckets)
@@ -284,20 +320,32 @@ def _build_hash_table(
         slots = t_sorted[ok] * BUCKET_SLOTS + slot_in_bucket[ok]
         table_hi[slots] = hi[keys]
         table_lo[slots] = lo[keys]
-        table_val[slots] = vals[keys]
+        table_vsame[slots] = vsame[keys]
+        table_vdiff[slots] = vdiff[keys]
         np.add.at(loads, t_sorted[ok], 1)
         pending = pending[order[~ok]]
 
     stash_hi = np.zeros(STASH_SIZE, dtype=np.uint32)
     stash_lo = np.zeros(STASH_SIZE, dtype=np.uint32)
-    stash_val = np.full(STASH_SIZE, -1, dtype=np.int32)
+    stash_vsame = np.full(STASH_SIZE, -1, dtype=np.int32)
+    stash_vdiff = np.full(STASH_SIZE, -1, dtype=np.int32)
     if pending.size > STASH_SIZE:
         raise RuntimeError(f"hash table overflow: {pending.size} unplaced keys")
     if pending.size:
         stash_hi[: pending.size] = hi[pending]
         stash_lo[: pending.size] = lo[pending]
-        stash_val[: pending.size] = vals[pending]
-    return table_hi, table_lo, table_val, stash_hi, stash_lo, stash_val
+        stash_vsame[: pending.size] = vsame[pending]
+        stash_vdiff[: pending.size] = vdiff[pending]
+    return (
+        table_hi,
+        table_lo,
+        table_vsame,
+        table_vdiff,
+        stash_hi,
+        stash_lo,
+        stash_vsame,
+        stash_vdiff,
+    )
 
 
 def _class_bitsets(class_offsets, class_features, n_features: int) -> np.ndarray:
@@ -339,7 +387,16 @@ def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = 
     if config.num_mismatches > 0:
         codes, feats = _expand_hamming1(codes, feats, k)
 
-    # unique (code, feature) pairs, sorted by (code, feature)
+    # canonicalize: key = canonical code, strand bit = whether the reference
+    # k-mer was NOT in canonical orientation. augmented = canon*2 + strand
+    # fits in 64 bits for k <= 31 (2k+1 <= 63 bits).
+    if codes.size:
+        rc = seqmod.revcomp_kmer_u64(codes, k)
+        same = codes <= rc
+        canon = np.where(same, codes, rc)
+        codes = (canon << np.uint64(1)) | (~same).astype(np.uint64)
+
+    # unique (augmented code, feature) pairs, sorted by (code, feature)
     if codes.size:
         order = np.lexsort((feats, codes))
         codes = codes[order]
@@ -350,20 +407,41 @@ def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = 
         codes = codes[keep]
         feats = feats[keep]
 
-    unique_codes, class_of_code, class_offsets, class_features = _assign_classes(
+    aug_codes, class_of_aug, class_offsets, class_features = _assign_classes(
         codes, feats
     )
-    n_kmers = unique_codes.shape[0]
+
+    # merge strand pairs: one table entry per canonical code with
+    # (val_same, val_diff)
+    canon_codes_all = aug_codes >> np.uint64(1)
+    strand_all = (aug_codes & np.uint64(1)).astype(np.int32)
+    if canon_codes_all.size:
+        new_canon = np.empty(canon_codes_all.shape[0], dtype=bool)
+        new_canon[0] = True
+        new_canon[1:] = canon_codes_all[1:] != canon_codes_all[:-1]
+        entry_idx = np.cumsum(new_canon) - 1
+        n_entries = int(entry_idx[-1]) + 1
+        unique_canon = canon_codes_all[np.flatnonzero(new_canon)]
+        vsame = np.full(n_entries, -1, dtype=np.int32)
+        vdiff = np.full(n_entries, -1, dtype=np.int32)
+        is_same = strand_all == 0
+        vsame[entry_idx[is_same]] = class_of_aug[is_same]
+        vdiff[entry_idx[~is_same]] = class_of_aug[~is_same]
+    else:
+        unique_canon = np.zeros(0, dtype=np.uint64)
+        vsame = np.zeros(0, dtype=np.int32)
+        vdiff = np.zeros(0, dtype=np.int32)
+    n_kmers = unique_canon.shape[0]
 
     # table sizing: slots >= 2x keys (load <= 0.5), power-of-two buckets
     min_buckets = max(1, -(-n_kmers * 2 // BUCKET_SLOTS))
     n_buckets = 1 << max(1, int(np.ceil(np.log2(min_buckets))))
 
-    hi = (unique_codes >> np.uint64(32)).astype(np.uint32)
-    lo = (unique_codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (unique_canon >> np.uint64(32)).astype(np.uint32)
+    lo = (unique_canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     while True:
         try:
-            tables = _build_hash_table(hi, lo, class_of_code, n_buckets)
+            tables = _build_hash_table(hi, lo, vsame, vdiff, n_buckets)
             break
         except RuntimeError:
             n_buckets *= 2
@@ -397,10 +475,12 @@ def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = 
         n_buckets=n_buckets,
         table_hi=tables[0],
         table_lo=tables[1],
-        table_val=tables[2],
-        stash_hi=tables[3],
-        stash_lo=tables[4],
-        stash_val=tables[5],
+        table_vsame=tables[2],
+        table_vdiff=tables[3],
+        stash_hi=tables[4],
+        stash_lo=tables[5],
+        stash_vsame=tables[6],
+        stash_vdiff=tables[7],
         class_offsets=class_offsets,
         class_features=class_features,
         class_bits=class_bits,

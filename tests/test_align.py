@@ -274,3 +274,19 @@ class TestEmission:
         feats, keep = resolve_features(index, bits, EmitConfig(False, False, 0, 2))
         assert keep.tolist() == [True, True, False]  # max_hits_to_report=2
         assert feats[1] == "f0,f1"
+
+
+def test_revcomp_hi_lo_matches_host():
+    import jax.numpy as jnp
+    from nimble_tpu.align.engine import revcomp_hi_lo
+
+    rng = np.random.default_rng(99)
+    for k in (5, 15, 16, 21, 31):
+        codes = rng.integers(0, 1 << min(2 * k, 63), size=256, dtype=np.uint64)
+        codes &= (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+        expected = seqmod.revcomp_kmer_u64(codes, k)
+        hi = (codes >> np.uint64(32)).astype(np.uint32)
+        lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        oh, ol = revcomp_hi_lo(jnp.asarray(hi), jnp.asarray(lo), k)
+        got = (np.asarray(oh).astype(np.uint64) << np.uint64(32)) | np.asarray(ol).astype(np.uint64)
+        assert np.array_equal(got, expected), k

