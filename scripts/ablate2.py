@@ -31,19 +31,21 @@ def variant_kmer(t, c, l):
 
 def variant_lookup(t, c, l):
     hi, lo, valid = E.kmer_hi_lo(c, l, p.k)
-    return (E.lookup_classes(hi, lo, valid, t, p.n_buckets),)
+    return E.lookup_classes(hi, lo, valid, t, p.n_buckets, p.k)
 
 
 def variant_lookup_cov(t, c, l):
     hi, lo, valid = E.kmer_hi_lo(c, l, p.k)
-    cls = E.lookup_classes(hi, lo, valid, t, p.n_buckets)
-    return (E.coverage_score(cls >= 0, l, p.k, c.shape[1]),)
+    cls_f, cls_r = E.lookup_classes(hi, lo, valid, t, p.n_buckets, p.k)
+    return (E.coverage_score(cls_f >= 0, l, p.k, c.shape[1]),
+            E.coverage_score(cls_r >= 0, l, p.k, c.shape[1]))
 
 
 def variant_lookup_isect(t, c, l):
     hi, lo, valid = E.kmer_hi_lo(c, l, p.k)
-    cls = E.lookup_classes(hi, lo, valid, t, p.n_buckets)
-    return (E.intersect_class_bits(cls, cls >= 0, t["class_bits"]),)
+    cls_f, cls_r = E.lookup_classes(hi, lo, valid, t, p.n_buckets, p.k)
+    return (E.intersect_class_bits(cls_f, cls_f >= 0, t["class_bits"]),
+            E.intersect_class_bits(cls_r, cls_r >= 0, t["class_bits"]))
 
 
 def variant_mate(t, c, l):
