@@ -200,3 +200,223 @@ void nt_encode_batch(const char *seqs, const int64_t *offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM batch reader: BGZF (gzip-member) stream -> fixed-shape code batches.
+// Parses records, 4-bit-unpacks sequences straight into 2-bit codes, and
+// extracts CB/UB/GN string tags + flag/pos. Replaces the Python BamReader on
+// the hot scRNA-seq input path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int8_t kNibToCode[16] = {
+    // = A C M G R S V T W Y H K D B N
+    N_CODE, 0, 1, N_CODE, 2, N_CODE, N_CODE, N_CODE,
+    3, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE};
+
+struct BamReaderC {
+  gzFile f = nullptr;
+  // carry buffer for partial records across read calls
+  uint8_t *buf = nullptr;
+  size_t cap = 0;
+  size_t len = 0;
+  size_t pos = 0;
+  bool eof = false;
+  bool header_done = false;
+
+  bool ensure(size_t need) {
+    while (len - pos < need) {
+      if (eof) return false;
+      if (pos > 0) {
+        memmove(buf, buf + pos, len - pos);
+        len -= pos;
+        pos = 0;
+      }
+      if (cap - len < (1u << 20)) {
+        cap = cap * 2 + (1u << 20);
+        buf = (uint8_t *)realloc(buf, cap);
+      }
+      int n = gzread(f, buf + len, (unsigned)(cap - len));
+      if (n <= 0) {
+        eof = true;
+      } else {
+        len += (size_t)n;
+      }
+    }
+    return true;
+  }
+
+  bool skip_header() {
+    if (!ensure(12)) return false;
+    if (memcmp(buf + pos, "BAM\x01", 4) != 0) return false;
+    int32_t l_text;
+    memcpy(&l_text, buf + pos + 4, 4);
+    pos += 8;
+    if (!ensure((size_t)l_text + 4)) return false;
+    pos += (size_t)l_text;
+    int32_t n_ref;
+    memcpy(&n_ref, buf + pos, 4);
+    pos += 4;
+    for (int32_t i = 0; i < n_ref; i++) {
+      if (!ensure(4)) return false;
+      int32_t l_name;
+      memcpy(&l_name, buf + pos, 4);
+      pos += 4;
+      if (!ensure((size_t)l_name + 4)) return false;
+      pos += (size_t)l_name + 4;
+    }
+    header_done = true;
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *nt_bam_open(const char *path) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return nullptr;
+  gzbuffer(f, 1 << 22);
+  BamReaderC *r = new BamReaderC();
+  r->f = f;
+  r->cap = 1 << 22;
+  r->buf = (uint8_t *)malloc(r->cap);
+  if (!r->skip_header()) {
+    gzclose(f);
+    free(r->buf);
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void nt_bam_close(void *handle) {
+  BamReaderC *r = (BamReaderC *)handle;
+  if (r == nullptr) return;
+  gzclose(r->f);
+  free(r->buf);
+  delete r;
+}
+
+// Read up to max_records primary BAM records (secondary/supplementary
+// skipped). Outputs per record:
+//   codes  int8  [max_records, max_len]
+//   lens   int32 [max_records]
+//   flags  int32 [max_records]
+//   poss   int32 [max_records]
+//   raw    char  [raw_cap]   name\0 CB\0 UB\0 GN\0 per record
+//   raw_offs int64 [max_records*4]
+// Returns count (0 at EOF), or -1 on malformed input / raw overflow.
+int64_t nt_bam_read_batch(void *handle, int64_t max_records, int64_t max_len,
+                          int8_t *codes, int32_t *lens, int32_t *flags,
+                          int32_t *poss, char *raw, int64_t raw_cap,
+                          int64_t *raw_offs) {
+  BamReaderC *r = (BamReaderC *)handle;
+  int64_t nrec = 0;
+  int64_t raw_pos = 0;
+  const int64_t kGuard = 1 << 20;
+  while (nrec < max_records) {
+    if (raw_cap - raw_pos < kGuard) break;
+    if (!r->ensure(4)) break;
+    int32_t block_size;
+    memcpy(&block_size, r->buf + r->pos, 4);
+    if (block_size < 32) return -1;
+    if (!r->ensure(4 + (size_t)block_size)) break;
+    const uint8_t *rec = r->buf + r->pos + 4;
+    r->pos += 4 + (size_t)block_size;
+
+    int32_t pos_field;
+    memcpy(&pos_field, rec + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    uint16_t flag;
+    memcpy(&flag, rec + 14, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, rec + 16, 4);
+    if (flag & 0x100 || flag & 0x800) continue;  // secondary/supplementary
+
+    const uint8_t *p = rec + 32;
+    const char *name = (const char *)p;
+    size_t name_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
+    p += l_read_name;
+    p += 4 * (size_t)n_cigar;
+    const uint8_t *seq_nibs = p;
+    p += (l_seq + 1) / 2;
+    p += l_seq;  // qualities (skipped)
+    const uint8_t *tags = p;
+    const uint8_t *tags_end = rec + block_size;
+
+    // decode sequence nibbles -> 2-bit codes
+    int8_t *crow = codes + nrec * max_len;
+    int64_t m = l_seq < max_len ? l_seq : max_len;
+    for (int64_t i = 0; i < m; i++) {
+      uint8_t nib = (i % 2 == 0) ? (seq_nibs[i / 2] >> 4) : (seq_nibs[i / 2] & 0xF);
+      crow[i] = kNibToCode[nib];
+    }
+    for (int64_t i = m; i < max_len; i++) crow[i] = N_CODE;
+    lens[nrec] = (int32_t)m;
+    flags[nrec] = flag;
+    poss[nrec] = pos_field;
+
+    // name
+    raw_offs[nrec * 4 + 0] = raw_pos;
+    memcpy(raw + raw_pos, name, name_len);
+    raw[raw_pos + name_len] = 0;
+    raw_pos += (int64_t)name_len + 1;
+
+    // CB / UB / GN tags (Z type); emit empty strings when absent
+    const char *want[3] = {"CB", "UB", "GN"};
+    const uint8_t *found[3] = {nullptr, nullptr, nullptr};
+    size_t found_len[3] = {0, 0, 0};
+    const uint8_t *t = tags;
+    while (t + 3 <= tags_end) {
+      char key0 = (char)t[0], key1 = (char)t[1];
+      char typ = (char)t[2];
+      t += 3;
+      size_t vlen = 0;
+      if (typ == 'Z' || typ == 'H') {
+        const uint8_t *z = t;
+        while (z < tags_end && *z != 0) z++;
+        vlen = (size_t)(z - t);
+        for (int w = 0; w < 3; w++) {
+          if (key0 == want[w][0] && key1 == want[w][1]) {
+            found[w] = t;
+            found_len[w] = vlen;
+          }
+        }
+        t = z + 1;
+      } else if (typ == 'A' || typ == 'c' || typ == 'C') {
+        t += 1;
+      } else if (typ == 's' || typ == 'S') {
+        t += 2;
+      } else if (typ == 'i' || typ == 'I' || typ == 'f') {
+        t += 4;
+      } else if (typ == 'B') {
+        if (t + 5 > tags_end) break;
+        char sub = (char)t[0];
+        int32_t cnt;
+        memcpy(&cnt, t + 1, 4);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+        t += 5 + (size_t)cnt * esz;
+      } else {
+        break;  // unknown tag type: stop parsing tags for this record
+      }
+    }
+    for (int w = 0; w < 3; w++) {
+      raw_offs[nrec * 4 + 1 + w] = raw_pos;
+      if (found[w] != nullptr) {
+        memcpy(raw + raw_pos, found[w], found_len[w]);
+      }
+      raw[raw_pos + (int64_t)found_len[w]] = 0;
+      raw_pos += (int64_t)found_len[w] + 1;
+    }
+
+    nrec++;
+  }
+  return nrec;
+}
+
+}  // extern "C"

@@ -308,11 +308,18 @@ def align_files(
     tput = Throughput(log)
     try:
         if is_bam:
-            from nimble_tpu.io.bam import iter_bam_batches
+            from nimble_tpu.io import native
 
-            batches = iter_bam_batches(
-                inputs[0], batch_records=batch_records, max_len=max_len
-            )
+            if native.available():
+                batches = native.iter_native_bam_batches(
+                    inputs[0], batch_records=batch_records, max_len=max_len
+                )
+            else:
+                from nimble_tpu.io.bam import iter_bam_batches
+
+                batches = iter_bam_batches(
+                    inputs[0], batch_records=batch_records, max_len=max_len
+                )
         else:
             from nimble_tpu.io import native
 

@@ -182,3 +182,170 @@ class NativeFastqReader:
             f1.close()
             if f2 is not None:
                 f2.close()
+
+
+def _bind_bam(lib):
+    if hasattr(lib, "_bam_bound"):
+        return
+    lib.nt_bam_open.restype = ctypes.c_void_p
+    lib.nt_bam_open.argtypes = [ctypes.c_char_p]
+    lib.nt_bam_close.argtypes = [ctypes.c_void_p]
+    lib.nt_bam_read_batch.restype = ctypes.c_int64
+    lib.nt_bam_read_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib._bam_bound = True
+
+
+class NativeBamFile:
+    """Streaming native BAM reader: primary records as code batches with
+    flag/pos and name/CB/UB/GN strings."""
+
+    def __init__(self, path: str, batch_records: int, max_len: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _bind_bam(lib)
+        self._lib = lib
+        self._handle = lib.nt_bam_open(path.encode())
+        if not self._handle:
+            raise FileNotFoundError(f"{path}: not found or not a BAM")
+        self.batch_records = batch_records
+        self.max_len = max_len
+        self._raw_cap = batch_records * 512 + (1 << 21)
+
+    def read_batch(self):
+        n = self.batch_records
+        codes = np.empty((n, self.max_len), dtype=np.int8)
+        lens = np.empty(n, dtype=np.int32)
+        flags = np.empty(n, dtype=np.int32)
+        poss = np.empty(n, dtype=np.int32)
+        raw = np.empty(self._raw_cap, dtype=np.uint8)
+        offs = np.empty(n * 4, dtype=np.int64)
+        got = self._lib.nt_bam_read_batch(
+            self._handle,
+            n,
+            self.max_len,
+            codes.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            flags.ctypes.data_as(ctypes.c_void_p),
+            poss.ctypes.data_as(ctypes.c_void_p),
+            raw.ctypes.data_as(ctypes.c_void_p),
+            self._raw_cap,
+            offs.ctypes.data_as(ctypes.c_void_p),
+        )
+        if got < 0:
+            raise RuntimeError("malformed BAM record or raw buffer overflow")
+        if got == 0:
+            return None
+        buf = raw.tobytes()
+        def strs(field):
+            out = []
+            for i in range(got):
+                start = offs[i * 4 + field]
+                end = buf.index(b"\x00", start)
+                out.append(buf[start:end].decode())
+            return out
+        return {
+            "codes": codes[:got],
+            "lens": lens[:got],
+            "flags": flags[:got],
+            "poss": poss[:got],
+            "names": strs(0),
+            "cbs": strs(1),
+            "umis": strs(2),
+            "gns": strs(3),
+        }
+
+    def close(self):
+        if self._handle:
+            self._lib.nt_bam_close(self._handle)
+            self._handle = None
+
+
+def iter_native_bam_batches(path: str, batch_records: int = 1 << 14, max_len: int = 256):
+    """Paired batch iterator over a BAM via the native reader, yielding the
+    same dict shape as nimble_tpu.io.bam.iter_bam_batches (consecutive
+    same-name records pair up; unpaired records get an empty r2)."""
+    from nimble_tpu import seq as seqmod
+
+    f = NativeBamFile(path, batch_records, max_len)
+    pend = None  # (codes_row, len, flag, pos, name, cb, umi, gn)
+    try:
+        while True:
+            b = f.read_batch()
+            if b is None:
+                break
+            pairs = []  # (r1 tuple, r2 tuple | None)
+            n = b["codes"].shape[0]
+            i = 0
+            recs = [
+                (
+                    b["codes"][j],
+                    int(b["lens"][j]),
+                    int(b["flags"][j]),
+                    int(b["poss"][j]),
+                    b["names"][j],
+                    b["cbs"][j],
+                    b["umis"][j],
+                    b["gns"][j],
+                )
+                for j in range(n)
+            ]
+            if pend is not None:
+                recs.insert(0, pend)
+                pend = None
+            j = 0
+            while j < len(recs):
+                if j + 1 < len(recs) and recs[j][4] == recs[j + 1][4]:
+                    a, c = recs[j], recs[j + 1]
+                    if a[2] & 0x80:  # a is read2
+                        a, c = c, a
+                    pairs.append((a, c))
+                    j += 2
+                elif j + 1 == len(recs):
+                    pend = recs[j]
+                    j += 1
+                else:
+                    pairs.append((recs[j], None))
+                    j += 1
+            if pairs:
+                yield _pairs_to_batch(pairs, max_len)
+        if pend is not None:
+            yield _pairs_to_batch([(pend, None)], max_len)
+    finally:
+        f.close()
+
+
+def _pairs_to_batch(pairs, max_len):
+    from nimble_tpu import seq as seqmod
+
+    n = len(pairs)
+    r1_codes = np.stack([p[0][0] for p in pairs])
+    r1_lens = np.array([p[0][1] for p in pairs], dtype=np.int32)
+    r2_codes = np.full((n, max_len), seqmod.N_CODE, dtype=np.int8)
+    r2_lens = np.zeros(n, dtype=np.int32)
+    for i, (_, r2) in enumerate(pairs):
+        if r2 is not None:
+            r2_codes[i] = r2[0]
+            r2_lens[i] = r2[1]
+    return {
+        "names": [p[0][4] for p in pairs],
+        "r1_codes": r1_codes,
+        "r1_lens": r1_lens,
+        "r2_codes": r2_codes,
+        "r2_lens": r2_lens,
+        "cbs": [p[0][5] for p in pairs],
+        "umis": [p[0][6] for p in pairs],
+        "poss": [(p[0][3], p[1][3] if p[1] is not None else -1) for p in pairs],
+        "gns": [p[0][7] for p in pairs],
+    }

@@ -67,3 +67,53 @@ def test_native_empty_file(tmp_path):
     path = str(tmp_path / "empty.fastq")
     open(path, "w").close()
     assert list(native.NativeFastqReader(path, batch_size=16, max_len=50)) == []
+
+
+def test_native_bam_matches_python(tmp_path):
+    from nimble_tpu.io.bam import BamRecord, BamWriter, iter_bam_batches
+    from nimble_tpu.io.native import iter_native_bam_batches
+
+    path = str(tmp_path / "x.bam")
+    with BamWriter(path, "@HD\tVN:1.6\tSO:queryname\n") as w:
+        w.write(BamRecord("r1", 77, "ACGTACGTAC", None, pos=-1, tags={"CB": "CB1", "UB": "U1", "GN": "g"}))
+        w.write(BamRecord("r1", 141, "TTTTAAAACC", None, tags={"CB": "CB1", "UB": "U1"}))
+        w.write(BamRecord("solo", 4, "GGGGNNCC", None, tags={"CB": "CB2", "UB": "U2"}))
+        w.write(BamRecord("sec", 260, "AAAA", None))  # secondary: skipped
+
+    def merge(batches):
+        out = {}
+        for key in batches[0]:
+            vals = [b[key] for b in batches]
+            if isinstance(vals[0], np.ndarray):
+                out[key] = np.concatenate(vals)
+            else:
+                out[key] = [x for v in vals for x in v]
+        return out
+
+    py = merge(list(iter_bam_batches(path, max_len=16)))
+    nat = merge(list(iter_native_bam_batches(path, max_len=16)))
+    assert nat["names"] == py["names"]
+    assert nat["cbs"] == py["cbs"]
+    assert nat["umis"] == py["umis"]
+    assert nat["gns"][0] == "g"
+    assert np.array_equal(nat["r1_codes"], py["r1_codes"])
+    assert np.array_equal(nat["r2_codes"], py["r2_codes"])
+    assert np.array_equal(nat["r1_lens"], py["r1_lens"])
+    assert nat["poss"] == py["poss"]
+
+
+def test_native_bam_pairing_across_batches(tmp_path):
+    from nimble_tpu.io.bam import BamRecord, BamWriter
+    from nimble_tpu.io.native import iter_native_bam_batches
+
+    path = str(tmp_path / "many.bam")
+    with BamWriter(path, "@HD\tVN:1.6\n") as w:
+        for i in range(10):
+            w.write(BamRecord(f"p{i}", 77, "ACGTACGT", None, tags={"CB": "C", "UB": f"U{i}"}))
+            w.write(BamRecord(f"p{i}", 141, "TTTTAAAA", None, tags={"CB": "C", "UB": f"U{i}"}))
+    # batch size 3 forces pairs to straddle batch boundaries
+    batches = list(iter_native_bam_batches(path, batch_records=3, max_len=8))
+    names = [n for b in batches for n in b["names"]]
+    assert names == [f"p{i}" for i in range(10)]
+    for b in batches:
+        assert (b["r2_lens"] > 0).all()
