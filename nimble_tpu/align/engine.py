@@ -56,6 +56,7 @@ class AlignParams:
     intersect_level: int
     require_valid_pair: bool
     strand_filter: str  # "unstranded" | "fiveprime" | "threeprime"
+    stride: int = 1  # probe every stride-th window (1 = every position)
 
     @classmethod
     def from_config(cls, config: Config, index: KmerIndex, strand_filter: str = "unstranded"):
@@ -68,6 +69,7 @@ class AlignParams:
             intersect_level=int(config.intersect_level),
             require_valid_pair=bool(config.require_valid_pair),
             strand_filter=strand_filter,
+            stride=int(getattr(config, "kmer_stride", 1)),
         )
 
 
@@ -223,19 +225,22 @@ def lookup_classes(hi, lo, valid, tables, n_buckets: int, k: int):
     return cls_fwd, cls_rev
 
 
-def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int):
+def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stride: int = 1):
     """Number of bases covered by >= 1 matched k-mer window ("score in bp").
 
-    Base b is covered iff some matched position p satisfies p <= b <= p+k-1,
-    i.e. p in [b-k+1, b]; computed with a trailing-window cumsum."""
+    Window j starts at base j*stride. Base b is covered iff some matched j
+    satisfies j*stride <= b <= j*stride + k - 1; computed with a
+    trailing-window cumsum over window indices."""
     B, P = matched.shape
     mc = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(matched.astype(jnp.int32), axis=1)],
         axis=1,
     )  # (B, P+1)
     b = np.arange(L)
-    hi_idx = np.minimum(b + 1, P)
-    lo_idx = np.clip(b - k + 1, 0, P)
+    j_high = b // stride
+    j_low = -((-(b - k + 1)) // stride)  # ceil((b-k+1)/stride), sign-safe
+    hi_idx = np.minimum(j_high + 1, P)
+    lo_idx = np.clip(j_low, 0, P)
     covered = (mc[:, hi_idx] - mc[:, lo_idx]) > 0  # (B, L)
     in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
     return jnp.sum(covered & in_read, axis=1).astype(jnp.int32)
@@ -294,11 +299,15 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     complement's corresponding window; coverage and intersection are
     invariant under the coordinate reflection)."""
     hi, lo, valid = kmer_hi_lo(codes, lens, p.k)
+    if p.stride > 1:
+        hi = hi[:, :: p.stride]
+        lo = lo[:, :: p.stride]
+        valid = valid[:, :: p.stride]
     cls_f, cls_r = lookup_classes(hi, lo, valid, tables, p.n_buckets, p.k)
     matched_f = cls_f >= 0
-    score_f = coverage_score(matched_f, lens, p.k, codes.shape[1])
+    score_f = coverage_score(matched_f, lens, p.k, codes.shape[1], p.stride)
     matched_r = cls_r >= 0
-    score_r = coverage_score(matched_r, lens, p.k, codes.shape[1])
+    score_r = coverage_score(matched_r, lens, p.k, codes.shape[1], p.stride)
 
     if p.strand_filter == "fiveprime":
         use_fwd = jnp.ones_like(score_f, dtype=bool)
@@ -307,9 +316,11 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     else:  # unstranded: higher-scoring orientation, ties -> forward
         use_fwd = score_f >= score_r
 
-    bits_f = intersect_class_bits(cls_f, matched_f, tables["class_bits"])
-    bits_r = intersect_class_bits(cls_r, matched_r, tables["class_bits"])
-    bits = jnp.where(use_fwd[:, None], bits_f, bits_r)
+    # intersect only the selected orientation's classes (one bitset gather
+    # per window instead of two)
+    cls_sel = jnp.where(use_fwd[:, None], cls_f, cls_r)
+    matched_sel = cls_sel >= 0
+    bits = intersect_class_bits(cls_sel, matched_sel, tables["class_bits"])
     score = jnp.where(use_fwd, score_f, score_r)
     return bits, score, score_f, score_r
 

@@ -67,8 +67,12 @@ class Config:
     # kmer_length: k used by the index builder. The reference's backend k is
     # not part of the library schema; we default to 21 and allow override.
     kmer_length: int = 21
+    # kmer_stride: probe every stride-th read window (1 = every position,
+    # the reference-equivalent default). Stride > 1 trades a small amount of
+    # score resolution / error tolerance for proportionally less probe work.
+    kmer_stride: int = 1
 
-    _EXTENSION_FIELDS = ("kmer_length",)
+    _EXTENSION_FIELDS = ("kmer_length", "kmer_stride")
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)

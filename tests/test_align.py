@@ -290,3 +290,42 @@ def test_revcomp_hi_lo_matches_host():
         oh, ol = revcomp_hi_lo(jnp.asarray(hi), jnp.asarray(lo), k)
         got = (np.asarray(oh).astype(np.uint64) << np.uint64(32)) | np.asarray(ol).astype(np.uint64)
         assert np.array_equal(got, expected), k
+
+
+def oracle_strided(read, kmer_map, k, stride):
+    """Strided oracle in forward coordinates: at each sampled forward window
+    position, the forward k-mer and its reverse complement probe the map
+    (matching the engine's canonical-probe sampling)."""
+    codes = seqmod.encode(read)
+    km, valid = seqmod.kmer_codes_u64(codes, k)
+    rc = seqmod.revcomp_kmer_u64(km, k) if len(km) else km
+
+    def orient(keys):
+        matched = [p for p in range(0, len(km), stride) if valid[p] and int(keys[p]) in kmer_map]
+        covered = set()
+        feats = None
+        for p in matched:
+            covered.update(range(p, p + k))
+            s = kmer_map[int(keys[p])]
+            feats = set(s) if feats is None else feats & s
+        return len(covered), (feats or set())
+
+    sf, ff = orient(km)
+    sr, fr = orient(rc)
+    return (sf, ff) if sf >= sr else (sr, fr)
+
+
+def test_stride_matches_strided_oracle(hla_like):
+    rng = np.random.default_rng(71)
+    reads = sample_reads(rng, hla_like, 48, read_len=100, error_rate=0.01)
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0, kmer_stride=3)
+    index, out = engine_results(hla_like, reads, cfg)
+    kmap = oracle_kmer_map(hla_like, 21)
+    member = decode_bitsets(out["bits"], index.n_features)
+    for i, read in enumerate(reads):
+        score, feats = oracle_strided(read, kmap, 21, 3)
+        if not feats:
+            assert out["score"][i] == 0
+        else:
+            assert out["score"][i] == score
+            assert set(np.nonzero(member[i])[0]) == feats
