@@ -28,7 +28,6 @@ O(read bases), so they are not on the hot path.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional
 

@@ -16,9 +16,8 @@ set-iteration order, i.e. effectively arbitrary.
 """
 from __future__ import annotations
 
-import sys
 from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -24,7 +24,6 @@ classes are identified with 4x32-bit set hashes + count + first/last feature.
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 

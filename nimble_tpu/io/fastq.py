@@ -11,8 +11,6 @@ import gzip
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
-import numpy as np
-
 from nimble_tpu import seq as seqmod
 
 

@@ -28,9 +28,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def init_distributed(

@@ -25,7 +25,7 @@ import base64
 import os
 from collections import Counter, defaultdict
 from io import BytesIO
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
