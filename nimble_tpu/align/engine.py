@@ -438,16 +438,17 @@ class AlignEngine:
         pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pad_width, constant_values=fill)
 
-    def align_batch(
+    def align_batch_async(
         self,
         r1_codes: np.ndarray,
         r1_lens: np.ndarray,
         r2_codes: Optional[np.ndarray] = None,
         r2_lens: Optional[np.ndarray] = None,
     ):
-        """Align a host batch of arbitrary size; returns host numpy outputs."""
+        """Dispatch a host batch to the device (no wait). Returns a list of
+        (device outputs dict, valid length) chunks for collect_async."""
         n = r1_codes.shape[0]
-        outs = []
+        pending = []
         for start in range(0, n, self.chunk_size):
             end = min(start + self.chunk_size, n)
             c1 = self._pad(r1_codes[start:end], self.chunk_size, N_CODE)
@@ -458,9 +459,27 @@ class AlignEngine:
                 out = self._fn(self.tables, c1, l1, c2, l2)
             else:
                 out = self._fn(self.tables, c1, l1)
-            outs.append(
-                {k: _to_host(v)[: end - start] for k, v in out.items()}
-            )
+            pending.append((out, end - start))
+        return pending
+
+    def collect_async(self, pending):
+        """Transfer dispatched chunk outputs to host numpy."""
+        outs = [
+            {k: _to_host(v)[:valid] for k, v in out.items()}
+            for out, valid in pending
+        ]
         if not outs:
             return None
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def align_batch(
+        self,
+        r1_codes: np.ndarray,
+        r1_lens: np.ndarray,
+        r2_codes: Optional[np.ndarray] = None,
+        r2_lens: Optional[np.ndarray] = None,
+    ):
+        """Align a host batch of arbitrary size; returns host numpy outputs."""
+        return self.collect_async(
+            self.align_batch_async(r1_codes, r1_lens, r2_codes, r2_lens)
+        )

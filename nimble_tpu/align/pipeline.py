@@ -123,8 +123,10 @@ class LibraryRunner:
             self._file.close()
             self._file = None
 
-    def process_batch(self, batch: Dict[str, np.ndarray]) -> int:
-        """Align one read batch and append passing rows to the TSV."""
+    def submit_batch(self, batch: Dict[str, np.ndarray]):
+        """Dispatch one batch to the device without waiting; returns a
+        handle for finalize_batch. Host emission of batch N overlaps the
+        device aligning batch N+1 (JAX async dispatch)."""
         r1_lens = batch["r1_lens"]
         r2_lens = batch.get("r2_lens")
         if self.trim_target > 0:
@@ -135,12 +137,18 @@ class LibraryRunner:
             r1_lens = np.minimum(r1_lens, self.trim_target)
             if r2_lens is not None:
                 r2_lens = np.minimum(r2_lens, self.trim_target)
-        out = self.engine.align_batch(
+        out = self.engine.align_batch_async(
             batch["r1_codes"],
             r1_lens,
             batch.get("r2_codes"),
             r2_lens,
         )
+        return (out, batch)
+
+    def finalize_batch(self, handle) -> int:
+        """Transfer device outputs and append passing rows to the TSV."""
+        pending, batch = handle
+        out = self.engine.collect_async(pending)
         if out is None:
             return 0
         pass_ = out["pass_"]
@@ -292,13 +300,13 @@ def align_files(
         for r in runners:
             r.open()
 
-    def save_progress():
+    def save_progress(done_idx):
         import json as _json
 
         with open(progress_path, "w") as f:
             _json.dump(
                 {
-                    "batches_done": batch_idx + 1,
+                    "batches_done": done_idx + 1,
                     "rows_written": {r.output_path: r.rows_written for r in runners},
                 },
                 f,
@@ -341,15 +349,29 @@ def align_files(
                 )
             batches = iter(reader)
         with profile():
+            # one batch in flight: host emission of batch N overlaps the
+            # device aligning batch N+1
+            inflight = None  # (batch_idx, n, handles)
+
+            def finalize(entry):
+                nonlocal total
+                done_idx, n, handles = entry
+                for r, h in zip(runners, handles):
+                    r.finalize_batch(h)
+                total += n
+                tput.add(n)
+                save_progress(done_idx)
+
             for batch_idx, batch in enumerate(batches):
                 if batch_idx < batches_done:
                     continue  # resume fast-forward
                 n = batch["r1_codes"].shape[0]
-                total += n
-                for r in runners:
-                    r.process_batch(batch)
-                tput.add(n)
-                save_progress()
+                handles = [r.submit_batch(batch) for r in runners]
+                if inflight is not None:
+                    finalize(inflight)
+                inflight = (batch_idx, n, handles)
+            if inflight is not None:
+                finalize(inflight)
     finally:
         for r in runners:
             r.close()

@@ -87,6 +87,39 @@ def pad_axis(arr: np.ndarray, axis: int, multiple: int, fill=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=fill)
 
 
+def plan_index_placement(index, hbm_bytes_per_chip: int = 12 << 30, n_chips: int = 1):
+    """Replicate-vs-shard planner for an index against the per-chip HBM
+    budget (SURVEY §5.7: prefer replicating the index and sharding the read
+    stream — embarrassingly parallel, no inner-loop comm — and shard the
+    class-bitset matrix over the feature axis only when it must spill).
+
+    Returns a dict: {"table_bytes", "class_bytes", "replicate_table",
+    "feature_shards"}: feature_shards == 1 means fully replicated.
+    """
+    table_bytes = int(
+        index.table_hi.nbytes
+        + index.table_lo.nbytes
+        + index.table_vsame.nbytes
+        + index.table_vdiff.nbytes
+    )
+    class_bytes = int(index.class_bits.nbytes)
+    budget = int(hbm_bytes_per_chip * 0.6)  # leave room for batches/workspace
+
+    feature_shards = 1
+    while table_bytes + class_bytes // feature_shards > budget:
+        feature_shards *= 2
+        if feature_shards > max(1, n_chips):
+            break
+    fits = table_bytes + class_bytes // feature_shards <= budget
+    return {
+        "table_bytes": table_bytes,
+        "class_bytes": class_bytes,
+        "replicate_table": True,
+        "feature_shards": min(feature_shards, max(1, n_chips)),
+        "fits": fits,
+    }
+
+
 def shard_tables(tables: dict, plan: MeshPlan) -> dict:
     """Place index tensors on the mesh: hash table + stash replicated,
     class bitsets sharded over the feature axis (word dim padded to the

@@ -69,3 +69,16 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_index_placement_planner():
+    from nimble_tpu.parallel.mesh import plan_index_placement
+
+    index, cfg, codes, lens = build_workload()
+    # huge budget: everything replicated
+    plan = plan_index_placement(index, hbm_bytes_per_chip=16 << 30, n_chips=8)
+    assert plan["feature_shards"] == 1 and plan["fits"]
+    # tiny budget: class bitsets must shard across the feature axis
+    tiny = int((index.table_hi.nbytes * 4 + index.class_bits.nbytes / 2) / 0.6) + 1024
+    plan = plan_index_placement(index, hbm_bytes_per_chip=tiny, n_chips=8)
+    assert plan["feature_shards"] >= 2
