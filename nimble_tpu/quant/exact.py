@@ -64,12 +64,22 @@ def _threshold_one_umi(
                 feature_scores[feature] = score_per_feature
 
     filtered_features_set: Optional[set] = None
+
+    def ratio_below(s: float, total: float) -> bool:
+        # mirror pandas IEEE division: 0/0 -> NaN (never < threshold),
+        # s/0 -> +-inf (reference: utils.py:146-147 divides without guards)
+        if total == 0:
+            if s == 0:
+                return False
+            return (float("-inf") if s < 0 else float("inf")) < threshold
+        return s / total < threshold
+
     while True:
         if not feature_scores:
             filtered_features_set = set()
             break
 
-        to_drop = {f for f, s in feature_scores.items() if s / total_score < threshold}
+        to_drop = {f for f, s in feature_scores.items() if ratio_below(s, total_score)}
         if not to_drop:
             filtered_features_set = set(feature_scores)
             break
