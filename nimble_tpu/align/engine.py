@@ -72,32 +72,65 @@ class AlignParams:
         )
 
 
-def _device_tables(index: KmerIndex):
+# inline the class bitsets into bucket rows when they are this narrow or
+# less (gather cost on this hardware is per ROW, nearly independent of row
+# width, so carrying the bitsets in the bucket row removes the separate
+# class-table gather entirely: 2 gather rows per window instead of 3)
+INLINE_BITS_MAX_WORDS = 16  # up to 512 features
+
+
+def _device_tables(index: KmerIndex, inline_ok: bool = True):
     """Index tensors as a pytree of jnp arrays.
 
-    The hash table ships as ONE interleaved (n_buckets, 4*BUCKET_SLOTS)
-    int32 array — row layout [hi x S | lo x S | val_same x S | val_diff x S]
-    — so a probe is a single contiguous row gather per hash candidate.
+    The hash table ships as ONE interleaved (n_buckets, row_width) int32
+    array so a probe is a single contiguous row gather per hash candidate.
+    Row layout: [hi x S | lo x S | val_same x S | val_diff x S] and, for
+    narrow feature spaces (see INLINE_BITS_MAX_WORDS), additionally
+    [vs_bits (S x W) | vd_bits (S x W)] — the equivalence-class bitsets of
+    each slot's two orientations, inlined so intersection needs no separate
+    class gather. Orientation absence is encoded as an all-zero bitset
+    (classes always have >= 1 feature, so real bitsets are nonzero).
 
     All gathered tables are stored as int32 bit-patterns: uint32 gathers
     compile pathologically slowly in this XLA build, and bitwise equality /
     AND are sign-agnostic. Queries are bitcast before comparison."""
     nb = index.n_buckets
     S = BUCKET_SLOTS
-    packed = np.empty((nb, 4 * S), dtype=np.int32)
+    W = index.bitset_words
+    inline = inline_ok and W <= INLINE_BITS_MAX_WORDS
+
+    class_bits_i32 = index.class_bits.view(np.int32)
+
+    def bits_of(vals: np.ndarray) -> np.ndarray:
+        out = np.zeros((vals.shape[0], W), dtype=np.int32)
+        occ = vals >= 0
+        out[occ] = class_bits_i32[vals[occ]]
+        return out
+
+    width = 4 * S + (2 * S * W if inline else 0)
+    packed = np.empty((nb, width), dtype=np.int32)
     packed[:, 0:S] = index.table_hi.reshape(nb, S).view(np.int32)
     packed[:, S : 2 * S] = index.table_lo.reshape(nb, S).view(np.int32)
     packed[:, 2 * S : 3 * S] = index.table_vsame.reshape(nb, S)
     packed[:, 3 * S : 4 * S] = index.table_vdiff.reshape(nb, S)
     as_i32 = lambda a: jnp.asarray(a.view(np.int32))
-    return {
-        "bucket": jnp.asarray(packed),
+    tables = {
+        "bucket": None,  # filled below
         "stash_hi": as_i32(index.stash_hi),
         "stash_lo": as_i32(index.stash_lo),
         "stash_vsame": jnp.asarray(index.stash_vsame),
         "stash_vdiff": jnp.asarray(index.stash_vdiff),
         "class_bits": as_i32(index.class_bits),
     }
+    if inline:
+        packed[:, 4 * S : 4 * S + S * W] = bits_of(
+            index.table_vsame
+        ).reshape(nb, S * W)
+        packed[:, 4 * S + S * W :] = bits_of(index.table_vdiff).reshape(nb, S * W)
+        tables["stash_vs_bits"] = jnp.asarray(bits_of(index.stash_vsame))
+        tables["stash_vd_bits"] = jnp.asarray(bits_of(index.stash_vdiff))
+    tables["bucket"] = jnp.asarray(packed)
+    return tables
 
 
 def _bitcast_i32(x):
@@ -179,6 +212,16 @@ def revcomp_hi_lo(hi, lo, k: int):
     return out_hi, out_lo
 
 
+def _canonical_keys(hi, lo, k: int):
+    """Forward codes -> (canonical hi/lo, fwd_is_canon, palindrome)."""
+    rc_hi, rc_lo = revcomp_hi_lo(hi, lo, k)
+    fwd_is_canon = (hi < rc_hi) | ((hi == rc_hi) & (lo <= rc_lo))
+    palindrome = (hi == rc_hi) & (lo == rc_lo)
+    c_hi = jnp.where(fwd_is_canon, hi, rc_hi)
+    c_lo = jnp.where(fwd_is_canon, lo, rc_lo)
+    return c_hi, c_lo, fwd_is_canon, palindrome
+
+
 def lookup_classes(hi, lo, valid, tables, n_buckets: int, k: int):
     """Canonical two-choice probe answering BOTH read orientations at once.
 
@@ -186,11 +229,7 @@ def lookup_classes(hi, lo, valid, tables, n_buckets: int, k: int):
     whose entries carry (val_same, val_diff). Returns (cls_fwd, cls_rev)
     int32 class ids (-1 miss): cls_fwd for the read's forward strand,
     cls_rev for its reverse complement."""
-    rc_hi, rc_lo = revcomp_hi_lo(hi, lo, k)
-    fwd_is_canon = (hi < rc_hi) | ((hi == rc_hi) & (lo <= rc_lo))
-    palindrome = (hi == rc_hi) & (lo == rc_lo)
-    c_hi = jnp.where(fwd_is_canon, hi, rc_hi)
-    c_lo = jnp.where(fwd_is_canon, lo, rc_lo)
+    c_hi, c_lo, fwd_is_canon, palindrome = _canonical_keys(hi, lo, k)
 
     h1, h2 = bucket_hashes_jnp(c_hi, c_lo, n_buckets)
     hi_i = _bitcast_i32(c_hi)
@@ -224,6 +263,45 @@ def lookup_classes(hi, lo, valid, tables, n_buckets: int, k: int):
     return cls_fwd, cls_rev
 
 
+def lookup_inline_bits(hi, lo, valid, tables, n_buckets: int, k: int, W: int):
+    """Canonical two-choice probe with INLINED class bitsets: one bucket-row
+    gather per hash candidate yields keys AND both orientations' feature
+    bitsets — no separate class-table gather. Returns
+    (bits_fwd, bits_rev) as (B, P, W) int32 (all-zero = miss)."""
+    c_hi, c_lo, fwd_is_canon, palindrome = _canonical_keys(hi, lo, k)
+    h1, h2 = bucket_hashes_jnp(c_hi, c_lo, n_buckets)
+    hi_i = _bitcast_i32(c_hi)
+    lo_i = _bitcast_i32(c_lo)
+    S = BUCKET_SLOTS
+    B, P = hi.shape
+    vs_bits = jnp.zeros((B, P, W), dtype=jnp.int32)
+    vd_bits = jnp.zeros((B, P, W), dtype=jnp.int32)
+    for h in (h1, h2):
+        row = tables["bucket"][h.astype(jnp.int32)]  # (B, P, width)
+        bk_hi = row[..., 0:S]
+        bk_lo = row[..., S : 2 * S]
+        vsb = row[..., 4 * S : 4 * S + S * W].reshape(B, P, S, W)
+        vdb = row[..., 4 * S + S * W :].reshape(B, P, S, W)
+        occupied = jnp.any((vsb | vdb) != 0, axis=-1)  # (B, P, S)
+        match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & occupied
+        # at most one slot matches: OR-select it
+        sel = match[..., None]
+        vs_bits = vs_bits | jnp.where(sel, vsb, 0).sum(axis=2)
+        vd_bits = vd_bits | jnp.where(sel, vdb, 0).sum(axis=2)
+    for s in range(STASH_SIZE):
+        # empty stash rows carry all-zero bitsets, so a spurious key match
+        # against an empty row contributes nothing
+        match = (tables["stash_hi"][s] == hi_i) & (tables["stash_lo"][s] == lo_i)
+        vs_bits = vs_bits | jnp.where(match[..., None], tables["stash_vs_bits"][s], 0)
+        vd_bits = vd_bits | jnp.where(match[..., None], tables["stash_vd_bits"][s], 0)
+
+    bits_f = jnp.where(fwd_is_canon[..., None], vs_bits, vd_bits)
+    alt = jnp.where(fwd_is_canon[..., None], vd_bits, vs_bits)
+    bits_r = jnp.where(palindrome[..., None], vs_bits, alt)
+    v = valid[..., None]
+    return jnp.where(v, bits_f, 0), jnp.where(v, bits_r, 0)
+
+
 def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stride: int = 1):
     """Number of bases covered by >= 1 matched k-mer window ("score in bp").
 
@@ -245,6 +323,26 @@ def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stri
     return jnp.sum(covered & in_read, axis=1).astype(jnp.int32)
 
 
+def and_reduce_bits(rows: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:
+    """AND-reduce (B, P, W) bitset rows over matched positions -> (B, W).
+    Misses contribute the identity (all ones); reads with zero matched
+    positions end all-zero (unmapped). Uses a halving tree of plain
+    elementwise ANDs (lax.reduce with a custom computation compiles
+    pathologically in this XLA build)."""
+    rows = jnp.where(matched[..., None], rows, jnp.int32(-1))
+    n = rows.shape[1]
+    while n > 1:
+        half = n // 2
+        lower = rows[:, :half] & rows[:, half : 2 * half]
+        if n % 2:
+            lower = lower.at[:, 0].set(lower[:, 0] & rows[:, -1])
+        rows = lower
+        n = half
+    acc = rows[:, 0]
+    any_match = jnp.any(matched, axis=1)
+    return jnp.where(any_match[:, None], acc, jnp.int32(0))
+
+
 def intersect_class_bits(class_ids, matched, class_bits):
     """Bitwise-AND of class bitsets over matched positions -> (B, W) uint32.
     Misses contribute the identity (all ones). Reads with zero matched
@@ -255,19 +353,7 @@ def intersect_class_bits(class_ids, matched, class_bits):
 
     if W <= 32:
         rows = class_bits[jnp.clip(class_ids, 0, None)]  # (B, P, W)
-        rows = jnp.where(matched[..., None], rows, jnp.int32(-1))
-        # AND-reduce over positions via a halving tree of plain elementwise
-        # ANDs (lax.reduce with a custom computation triggers a pathological
-        # XLA CPU compile).
-        n = rows.shape[1]
-        while n > 1:
-            half = n // 2
-            lower = rows[:, :half] & rows[:, half : 2 * half]
-            if n % 2:
-                lower = lower.at[:, 0].set(lower[:, 0] & rows[:, -1])
-            rows = lower
-            n = half
-        acc = rows[:, 0]
+        return and_reduce_bits(rows, matched)
     else:
         def body(p, acc):
             row = class_bits[jnp.clip(class_ids[:, p], 0, None)]  # (B, W)
@@ -302,10 +388,21 @@ def _score_mate(codes, lens, tables, p: AlignParams):
         hi = hi[:, :: p.stride]
         lo = lo[:, :: p.stride]
         valid = valid[:, :: p.stride]
-    cls_f, cls_r = lookup_classes(hi, lo, valid, tables, p.n_buckets, p.k)
-    matched_f = cls_f >= 0
+
+    inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
+    if inline:
+        W = tables["class_bits"].shape[1]
+        bits_f_w, bits_r_w = lookup_inline_bits(
+            hi, lo, valid, tables, p.n_buckets, p.k, W
+        )
+        matched_f = jnp.any(bits_f_w != 0, axis=-1)
+        matched_r = jnp.any(bits_r_w != 0, axis=-1)
+    else:
+        cls_f, cls_r = lookup_classes(hi, lo, valid, tables, p.n_buckets, p.k)
+        matched_f = cls_f >= 0
+        matched_r = cls_r >= 0
+
     score_f = coverage_score(matched_f, lens, p.k, codes.shape[1], p.stride)
-    matched_r = cls_r >= 0
     score_r = coverage_score(matched_r, lens, p.k, codes.shape[1], p.stride)
 
     if p.strand_filter == "fiveprime":
@@ -315,11 +412,15 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     else:  # unstranded: higher-scoring orientation, ties -> forward
         use_fwd = score_f >= score_r
 
-    # intersect only the selected orientation's classes (one bitset gather
-    # per window instead of two)
-    cls_sel = jnp.where(use_fwd[:, None], cls_f, cls_r)
-    matched_sel = cls_sel >= 0
-    bits = intersect_class_bits(cls_sel, matched_sel, tables["class_bits"])
+    # intersect only the selected orientation (one bitset row per window)
+    if inline:
+        sel_rows = jnp.where(use_fwd[:, None, None], bits_f_w, bits_r_w)
+        matched_sel = jnp.where(use_fwd[:, None], matched_f, matched_r)
+        bits = and_reduce_bits(sel_rows, matched_sel)
+    else:
+        cls_sel = jnp.where(use_fwd[:, None], cls_f, cls_r)
+        matched_sel = cls_sel >= 0
+        bits = intersect_class_bits(cls_sel, matched_sel, tables["class_bits"])
     score = jnp.where(use_fwd, score_f, score_r)
     return bits, score, score_f, score_r
 
@@ -409,9 +510,13 @@ class AlignEngine:
         if mesh is not None:
             from nimble_tpu.parallel.mesh import shard_tables
 
-            # chunk must tile the data axis
+            # chunk must tile the data axis; inlined bucket bitsets cannot
+            # shard over the feature axis, so fall back to the separate
+            # class table when that axis is split
             chunk_size = -(-chunk_size // mesh.n_data) * mesh.n_data
-            self.tables = shard_tables(_device_tables(index), mesh)
+            self.tables = shard_tables(
+                _device_tables(index, inline_ok=(mesh.n_feature == 1)), mesh
+            )
             in_shardings = [mesh.batch_sharded, mesh.data_sharded]
             if paired:
                 in_shardings += [mesh.batch_sharded, mesh.data_sharded]
