@@ -78,6 +78,14 @@ class AlignParams:
 # class-table gather entirely: 2 gather rows per window instead of 3)
 INLINE_BITS_MAX_WORDS = 16  # up to 512 features
 
+# single-hash ("mono") mode: one bucket of MONO_SLOTS entries per key at
+# load <= 1 key/bucket expected, so a probe is ONE row gather per window
+# (overflow keys go to a vector-swept stash). Gated on memory:
+# next_pow2(keys) buckets x MONO_SLOTS x entry bytes.
+MONO_SLOTS = 8
+MONO_MAX_BYTES = 2 << 30
+MONO_MAX_STASH = 64
+
 
 def _device_tables(index: KmerIndex, inline_ok: bool = True):
     """Index tensors as a pytree of jnp arrays.
@@ -130,7 +138,89 @@ def _device_tables(index: KmerIndex, inline_ok: bool = True):
         tables["stash_vs_bits"] = jnp.asarray(bits_of(index.stash_vsame))
         tables["stash_vd_bits"] = jnp.asarray(bits_of(index.stash_vdiff))
     tables["bucket"] = jnp.asarray(packed)
+    if inline:
+        mono = _build_mono_tables(index, bits_of)
+        if mono is not None:
+            tables.update(mono)
     return tables
+
+
+def _build_mono_tables(index: KmerIndex, bits_of):
+    """Single-hash bucket layout: every occupied entry reinserted by h1 into
+    next_pow2(n_keys) buckets of MONO_SLOTS slots (expected load <= 1/bucket).
+    Entry layout per slot: [hi, lo, vs_bits(W), vd_bits(W)]; a bucket row is
+    MONO_SLOTS entries -> ONE contiguous row gather answers a whole probe.
+    Returns None (caller keeps two-choice) when memory or stash would blow."""
+    from nimble_tpu.index.hashing import bucket_hashes_np
+
+    W = index.bitset_words
+    occ = (index.table_vsame >= 0) | (index.table_vdiff >= 0)
+    his = [index.table_hi[occ]]
+    los = [index.table_lo[occ]]
+    vss = [index.table_vsame[occ]]
+    vds = [index.table_vdiff[occ]]
+    socc = (index.stash_vsame >= 0) | (index.stash_vdiff >= 0)
+    his.append(index.stash_hi[socc])
+    los.append(index.stash_lo[socc])
+    vss.append(index.stash_vsame[socc])
+    vds.append(index.stash_vdiff[socc])
+    hi = np.concatenate(his)
+    lo = np.concatenate(los)
+    vs = np.concatenate(vss)
+    vd = np.concatenate(vds)
+    n = hi.shape[0]
+    if n == 0:
+        return None
+    nb2 = 1 << max(1, int(np.ceil(np.log2(n))))
+    entry = 2 + 2 * W
+    if nb2 * MONO_SLOTS * entry * 4 > MONO_MAX_BYTES:
+        return None
+
+    h, _ = bucket_hashes_np(hi, lo, nb2)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = h_sorted[1:] != h_sorted[:-1]
+    start = np.flatnonzero(boundary)
+    group = np.cumsum(boundary) - 1
+    rank = np.arange(n) - start[group]
+    placed = rank < MONO_SLOTS
+    if (~placed).sum() > MONO_MAX_STASH:
+        return None
+
+    vs_bits = bits_of(vs)
+    vd_bits = bits_of(vd)
+    table = np.zeros((nb2, MONO_SLOTS * entry), dtype=np.int32)
+    keys = order[placed]
+    slots = h_sorted[placed].astype(np.int64) * MONO_SLOTS + rank[placed]
+    flat = table.reshape(nb2 * MONO_SLOTS, entry)
+    flat[slots, 0] = hi[keys].view(np.int32)
+    flat[slots, 1] = lo[keys].view(np.int32)
+    flat[slots, 2 : 2 + W] = vs_bits[keys]
+    flat[slots, 2 + W :] = vd_bits[keys]
+
+    n_stash = int((~placed).sum())
+    pad = max(1, n_stash)
+    skeys = order[~placed]
+    ms_hi = np.zeros(pad, dtype=np.int32)
+    ms_lo = np.zeros(pad, dtype=np.int32)
+    ms_vsb = np.zeros((pad, W), dtype=np.int32)
+    ms_vdb = np.zeros((pad, W), dtype=np.int32)
+    if n_stash:
+        ms_hi[:n_stash] = hi[skeys].view(np.int32)
+        ms_lo[:n_stash] = lo[skeys].view(np.int32)
+        ms_vsb[:n_stash] = vs_bits[skeys]
+        ms_vdb[:n_stash] = vd_bits[skeys]
+    # zero padding rows are safe: their bitsets are zero, so a spurious
+    # key-(0,0) match contributes nothing
+    return {
+        "mono_bucket": jnp.asarray(table),
+        "mono_stash_hi": jnp.asarray(ms_hi),
+        "mono_stash_lo": jnp.asarray(ms_lo),
+        "mono_stash_vs_bits": jnp.asarray(ms_vsb),
+        "mono_stash_vd_bits": jnp.asarray(ms_vdb),
+    }
 
 
 def _bitcast_i32(x):
@@ -302,6 +392,44 @@ def lookup_inline_bits(hi, lo, valid, tables, n_buckets: int, k: int, W: int):
     return jnp.where(v, bits_f, 0), jnp.where(v, bits_r, 0)
 
 
+def lookup_mono_bits(hi, lo, valid, tables, k: int, W: int):
+    """Single-hash probe: ONE bucket-row gather per window answers keys and
+    both orientations' bitsets; overflow keys live in a vector-swept stash.
+    Returns (bits_fwd, bits_rev) as (B, P, W) int32 (all-zero = miss)."""
+    c_hi, c_lo, fwd_is_canon, palindrome = _canonical_keys(hi, lo, k)
+    nb2 = tables["mono_bucket"].shape[0]
+    h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb2)
+    hi_i = _bitcast_i32(c_hi)
+    lo_i = _bitcast_i32(c_lo)
+    B, P = hi.shape
+    entry = 2 + 2 * W
+
+    row = tables["mono_bucket"][h1.astype(jnp.int32)]  # (B, P, S*entry)
+    r = row.reshape(B, P, MONO_SLOTS, entry)
+    bk_hi = r[..., 0]
+    bk_lo = r[..., 1]
+    vsb = r[..., 2 : 2 + W]
+    vdb = r[..., 2 + W :]
+    occupied = jnp.any((vsb | vdb) != 0, axis=-1)
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & occupied
+    sel = match[..., None]
+    # at most one slot matches (keys unique): sum-select it
+    vs_bits = jnp.where(sel, vsb, 0).sum(axis=2)
+    vd_bits = jnp.where(sel, vdb, 0).sum(axis=2)
+
+    n_stash = tables["mono_stash_hi"].shape[0]
+    for s in range(n_stash):
+        m = (tables["mono_stash_hi"][s] == hi_i) & (tables["mono_stash_lo"][s] == lo_i)
+        vs_bits = vs_bits | jnp.where(m[..., None], tables["mono_stash_vs_bits"][s], 0)
+        vd_bits = vd_bits | jnp.where(m[..., None], tables["mono_stash_vd_bits"][s], 0)
+
+    bits_f = jnp.where(fwd_is_canon[..., None], vs_bits, vd_bits)
+    alt = jnp.where(fwd_is_canon[..., None], vd_bits, vs_bits)
+    bits_r = jnp.where(palindrome[..., None], vs_bits, alt)
+    v = valid[..., None]
+    return jnp.where(v, bits_f, 0), jnp.where(v, bits_r, 0)
+
+
 def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stride: int = 1):
     """Number of bases covered by >= 1 matched k-mer window ("score in bp").
 
@@ -392,9 +520,12 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
     if inline:
         W = tables["class_bits"].shape[1]
-        bits_f_w, bits_r_w = lookup_inline_bits(
-            hi, lo, valid, tables, p.n_buckets, p.k, W
-        )
+        if "mono_bucket" in tables:  # static: single-hash 1-row probe
+            bits_f_w, bits_r_w = lookup_mono_bits(hi, lo, valid, tables, p.k, W)
+        else:
+            bits_f_w, bits_r_w = lookup_inline_bits(
+                hi, lo, valid, tables, p.n_buckets, p.k, W
+            )
         matched_f = jnp.any(bits_f_w != 0, axis=-1)
         matched_r = jnp.any(bits_r_w != 0, axis=-1)
     else:
