@@ -78,11 +78,12 @@ class AlignParams:
 # class-table gather entirely: 2 gather rows per window instead of 3)
 INLINE_BITS_MAX_WORDS = 16  # up to 512 features
 
-# single-hash ("mono") mode: one bucket of MONO_SLOTS entries per key at
-# load <= 1 key/bucket expected, so a probe is ONE row gather per window
-# (overflow keys go to a vector-swept stash). Gated on memory:
-# next_pow2(keys) buckets x MONO_SLOTS x entry bytes.
-MONO_SLOTS = 8
+# single-hash ("mono") mode: one bucket of MONO_SLOTS entries per hash at
+# expected load <= 0.5 keys/bucket, so a probe is ONE row gather per window
+# (overflow keys go to a vector-swept stash). Measured on v5e: 4-slot
+# 160-byte rows beat both 8-slot 320-byte rows and the two-choice layout
+# (row-gather cost is flat only up to ~128 int32). Gated on memory.
+MONO_SLOTS = 4
 MONO_MAX_BYTES = 2 << 30
 MONO_MAX_STASH = 64
 
@@ -171,7 +172,7 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     n = hi.shape[0]
     if n == 0:
         return None
-    nb2 = 1 << max(1, int(np.ceil(np.log2(n))))
+    nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + 1)  # expected load <= 0.5
     entry = 2 + 2 * W
     if nb2 * MONO_SLOTS * entry * 4 > MONO_MAX_BYTES:
         return None
