@@ -329,3 +329,35 @@ def test_stride_matches_strided_oracle(hla_like):
         else:
             assert out["score"][i] == score
             assert set(np.nonzero(member[i])[0]) == feats
+
+
+def test_large_feature_space_paths(hla_like):
+    """>512 features disables bitset inlining and exercises the separate
+    class-table path with W > 32 words (fori-loop intersection)."""
+    rng = np.random.default_rng(83)
+    backbone = rand_seq(rng, 260)
+    seqs = []
+    for i in range(1100):
+        s = list(backbone)
+        for pos in rng.integers(0, 260, size=6):
+            s[pos] = "ACGT"[rng.integers(0, 4)]
+        seqs.append("".join(s))
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(seqs)
+    index = build_index(data, cfg, k=21)
+    assert index.bitset_words > 32
+    engine = AlignEngine(index, cfg, max_len=80, chunk_size=32)
+    assert "stash_vs_bits" not in engine.tables  # inline disabled
+
+    reads = sample_reads(rng, seqs, 24, read_len=80)
+    codes, lens = seqmod.encode_batch(reads, 80)
+    out = engine.align_batch(codes, lens)
+    kmap = oracle_kmer_map(seqs, 21)
+    member = decode_bitsets(out["bits"], index.n_features)
+    for i, read in enumerate(reads):
+        score, feats, _, _ = oracle_best(read, kmap, 21, index.n_features)
+        if feats:
+            assert out["score"][i] == score
+            assert set(np.nonzero(member[i])[0]) == feats
+        else:
+            assert out["score"][i] == 0
