@@ -248,7 +248,9 @@ def _assign_classes(
     counts = np.diff(np.append(starts, n))
 
     fu = sorted_feats.astype(np.uint32)
-    salts = (0xA511E9B3, 0xB4B82E39, 0xC90FDAA2, 0xD1310BA6)
+    # two independent 32-bit set hashes + count + first + last feature:
+    # ~96 bits of fingerprint, collision-safe for non-adversarial input
+    salts = (0xA511E9B3, 0xC90FDAA2)
     sig = [counts.astype(np.uint32)]
     for salt in salts:
         h = mix32_np(fu ^ np.uint32(salt), fu)

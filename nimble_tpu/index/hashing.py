@@ -16,13 +16,16 @@ _GOLDEN = 0x9E3779B1
 
 def mix32_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Mix two uint32 streams into one well-distributed uint32."""
-    a = a.astype(np.uint32, copy=False)
-    b = b.astype(np.uint32, copy=False)
-    x = (a * np.uint32(_GOLDEN) + b).astype(np.uint32)
+    if a.dtype != np.uint32:
+        a = a.astype(np.uint32)
+    if b.dtype != np.uint32:
+        b = b.astype(np.uint32)
+    x = a * np.uint32(_GOLDEN)
+    x += b
     x ^= x >> np.uint32(16)
-    x = (x * np.uint32(_C1)).astype(np.uint32)
+    x *= np.uint32(_C1)
     x ^= x >> np.uint32(13)
-    x = (x * np.uint32(_C2)).astype(np.uint32)
+    x *= np.uint32(_C2)
     x ^= x >> np.uint32(16)
     return x
 
