@@ -192,14 +192,18 @@ def _build_mono_tables(index: KmerIndex, bits_of):
 
     vs_bits = bits_of(vs)
     vd_bits = bits_of(vd)
-    table = np.zeros((nb2, MONO_SLOTS * entry), dtype=np.int32)
+    # PLANAR row layout (slot-minor within each field) so every post-gather
+    # slice is contiguous: [hi x S | lo x S | vs_bits (W, S) | vd_bits (W, S)]
+    S = MONO_SLOTS
+    table = np.zeros((nb2, S * entry), dtype=np.int32)
     keys = order[placed]
-    slots = h_sorted[placed].astype(np.int64) * MONO_SLOTS + rank[placed]
-    flat = table.reshape(nb2 * MONO_SLOTS, entry)
-    flat[slots, 0] = hi[keys].view(np.int32)
-    flat[slots, 1] = lo[keys].view(np.int32)
-    flat[slots, 2 : 2 + W] = vs_bits[keys]
-    flat[slots, 2 + W :] = vd_bits[keys]
+    b = h_sorted[placed].astype(np.int64)
+    s = rank[placed].astype(np.int64)
+    table[b, s] = hi[keys].view(np.int32)
+    table[b, S + s] = lo[keys].view(np.int32)
+    for w in range(W):
+        table[b, 2 * S + w * S + s] = vs_bits[keys, w]
+        table[b, 2 * S + W * S + w * S + s] = vd_bits[keys, w]
 
     n_stash = int((~placed).sum())
     pad = max(1, n_stash)
@@ -405,18 +409,19 @@ def lookup_mono_bits(hi, lo, valid, tables, k: int, W: int):
     B, P = hi.shape
     entry = 2 + 2 * W
 
+    S = MONO_SLOTS
     row = tables["mono_bucket"][h1.astype(jnp.int32)]  # (B, P, S*entry)
-    r = row.reshape(B, P, MONO_SLOTS, entry)
-    bk_hi = r[..., 0]
-    bk_lo = r[..., 1]
-    vsb = r[..., 2 : 2 + W]
-    vdb = r[..., 2 + W :]
-    occupied = jnp.any((vsb | vdb) != 0, axis=-1)
+    # planar layout: every slice below is contiguous in the gathered row
+    bk_hi = row[..., 0:S]
+    bk_lo = row[..., S : 2 * S]
+    vsb = row[..., 2 * S : 2 * S + W * S].reshape(B, P, W, S)
+    vdb = row[..., 2 * S + W * S :].reshape(B, P, W, S)
+    occupied = jnp.any((vsb | vdb) != 0, axis=2)  # (B, P, S)
     match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & occupied
-    sel = match[..., None]
+    sel = match[:, :, None, :]  # (B, P, 1, S)
     # at most one slot matches (keys unique): sum-select it
-    vs_bits = jnp.where(sel, vsb, 0).sum(axis=2)
-    vd_bits = jnp.where(sel, vdb, 0).sum(axis=2)
+    vs_bits = jnp.where(sel, vsb, 0).sum(axis=3)
+    vd_bits = jnp.where(sel, vdb, 0).sum(axis=3)
 
     n_stash = tables["mono_stash_hi"].shape[0]
     for s in range(n_stash):
