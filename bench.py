@@ -123,7 +123,7 @@ def main():
     import jax.numpy as jnp
 
     burst = 4
-    rounds = 12
+    rounds = 24
     best_dt = float("inf")
     checksum = 0
     for _ in range(rounds):
