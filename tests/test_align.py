@@ -361,3 +361,17 @@ def test_large_feature_space_paths(hla_like):
             assert set(np.nonzero(member[i])[0]) == feats
         else:
             assert out["score"][i] == 0
+
+
+def test_revcomp_device_matches_host():
+    import jax.numpy as jnp
+    from nimble_tpu.align.engine import revcomp_device
+
+    rng = np.random.default_rng(101)
+    reads = [rand_seq(rng, int(rng.integers(20, 60))) for _ in range(8)]
+    codes, lens = seqmod.encode_batch(reads, 60)
+    out = np.asarray(revcomp_device(jnp.asarray(codes), jnp.asarray(lens)))
+    for i, read in enumerate(reads):
+        got = seqmod.decode(out[i][: lens[i]])
+        assert got == seqmod.revcomp(read)
+        assert (out[i][lens[i]:] == seqmod.N_CODE).all()
