@@ -363,8 +363,62 @@ def _class_bitsets(class_offsets, class_features, n_features: int) -> np.ndarray
     return flat.reshape(n_classes, words)
 
 
-def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = None) -> KmerIndex:
-    """Build the full device index from a library's Data + Config."""
+def _group_mapping(config, data, names, feature_ids, feature_names):
+    """Config.group_on -> (group_names, feature_to_group int32)."""
+    n_features = len(feature_names)
+    if config.group_on:
+        if config.group_on not in data.headers:
+            raise ValueError(
+                f"group_on column {config.group_on!r} not found in library headers"
+            )
+        col = data.column(config.group_on)
+        group_names: List[str] = []
+        group_to_gid = {}
+        feature_to_group = np.zeros(n_features, dtype=np.int32)
+        for i, name in enumerate(names):
+            gname = col[i]
+            gid = group_to_gid.get(gname)
+            if gid is None:
+                gid = len(group_names)
+                group_to_gid[gname] = gid
+                group_names.append(gname)
+            feature_to_group[feature_ids[i]] = gid
+    else:
+        group_names = list(feature_names)
+        feature_to_group = np.arange(n_features, dtype=np.int32)
+    return group_names, feature_to_group
+
+
+def build_index(
+    data: Data,
+    config: Optional[Config] = None,
+    k: Optional[int] = None,
+    use_native: Optional[bool] = None,
+) -> KmerIndex:
+    """Build the full device index from a library's Data + Config.
+
+    Dispatches to the native C++ builder (index/native.py) when available —
+    semantics-equivalent, minutes -> seconds on large libraries; class
+    numbering may differ from the numpy build. use_native=False (or env
+    NIMBLE_TPU_NO_NATIVE_INDEX=1) forces the pure-numpy path."""
+    import os
+
+    if use_native is None:
+        use_native = os.environ.get("NIMBLE_TPU_NO_NATIVE_INDEX", "") != "1"
+    if use_native:
+        try:
+            from nimble_tpu.index.native import build_index_native
+
+            return build_index_native(data, config, k)
+        except RuntimeError:
+            pass  # no toolchain / stale .so: fall back to numpy
+    return _build_index_numpy(data, config, k)
+
+
+def _build_index_numpy(
+    data: Data, config: Optional[Config] = None, k: Optional[int] = None
+) -> KmerIndex:
+    """Pure-numpy reference implementation of the index build."""
     config = config or Config()
     k = int(k or config.kmer_length)
     if not (1 <= k <= 31):
@@ -448,28 +502,9 @@ def build_index(data: Data, config: Optional[Config] = None, k: Optional[int] = 
             n_buckets *= 2
 
     class_bits = _class_bitsets(class_offsets, class_features, n_features)
-
-    # group_on mapping
-    if config.group_on:
-        if config.group_on not in data.headers:
-            raise ValueError(
-                f"group_on column {config.group_on!r} not found in library headers"
-            )
-        col = data.column(config.group_on)
-        group_names: List[str] = []
-        group_to_gid = {}
-        feature_to_group = np.zeros(n_features, dtype=np.int32)
-        for i, name in enumerate(names):
-            gname = col[i]
-            gid = group_to_gid.get(gname)
-            if gid is None:
-                gid = len(group_names)
-                group_to_gid[gname] = gid
-                group_names.append(gname)
-            feature_to_group[feature_ids[i]] = gid
-    else:
-        group_names = list(feature_names)
-        feature_to_group = np.arange(n_features, dtype=np.int32)
+    group_names, feature_to_group = _group_mapping(
+        config, data, names, feature_ids, feature_names
+    )
 
     return KmerIndex(
         k=k,

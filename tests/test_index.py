@@ -172,3 +172,76 @@ def test_larger_scale_index():
     )
     for code, cid in zip(sample, cls):
         assert set(idx.class_feature_list(int(cid))) == oracle[code]
+
+
+# ---- native C++ builder: differential equivalence vs the numpy builder ----
+
+def _semantic_maps(idx, queries_hi, queries_lo):
+    """Decode lookups to frozensets of feature ids (class-numbering-free)."""
+    cls = idx.lookup_np(queries_hi, queries_lo)
+    return [
+        frozenset(idx.class_feature_list(int(c))) if c >= 0 else None for c in cls
+    ]
+
+
+@pytest.mark.parametrize("mismatches", [0, 1])
+def test_native_builder_matches_numpy(mismatches):
+    from nimble_tpu.index import native as idx_native
+
+    if not idx_native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    base = rand_seq(rng, 400)
+    # shared spans, an N-containing sequence, a duplicate name, a palindromic
+    # spot, and a pure-random sequence
+    seqs = [
+        base[:250],
+        base[150:400],
+        rand_seq(rng, 100) + "N" + rand_seq(rng, 80),
+        "ACGT" * 30,
+        rand_seq(rng, 220),
+    ]
+    names = ["a", "b", "c", "a", "e"]
+    cfg = Config()
+    cfg.num_mismatches = mismatches
+    k = 13
+    data = make_data(seqs, names=names)
+    nat = idx_native.build_index_native(data, cfg, k=k)
+    ref = build_index(data, cfg, k=k, use_native=False)
+
+    assert nat.k == ref.k
+    assert nat.n_kmers == ref.n_kmers
+    # same sizing policy; the native sequential two-choice insertion can
+    # succeed at a size where numpy's round-based insertion had to double
+    assert nat.n_buckets <= ref.n_buckets
+    assert nat.feature_names == ref.feature_names
+    assert (nat.feature_to_group == ref.feature_to_group).all()
+
+    # identical class CONTENTS as a multiset of feature sets
+    def class_sets(idx):
+        return sorted(
+            tuple(idx.class_feature_list(c)) for c in range(idx.n_classes)
+        )
+
+    assert class_sets(nat) == class_sets(ref)
+
+    # every reference k-mer and a swath of random queries decode identically
+    all_codes = set()
+    for s in seqs:
+        km, valid = seqmod.kmer_codes_u64(seqmod.encode(s), k)
+        all_codes.update(int(c) for c in km[valid])
+    probe = np.array(sorted(all_codes), dtype=np.uint64)
+    randq = rng.integers(0, 1 << (2 * k), size=2000).astype(np.uint64)
+    for q in (probe, randq):
+        hi = (q >> np.uint64(32)).astype(np.uint32)
+        lo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        assert _semantic_maps(nat, hi, lo) == _semantic_maps(ref, hi, lo)
+
+
+def test_native_builder_empty_library():
+    from nimble_tpu.index import native as idx_native
+
+    if not idx_native.available():
+        pytest.skip("native library unavailable")
+    nat = idx_native.build_index_native(make_data([]), Config(), k=11)
+    assert nat.n_kmers == 0 and nat.n_classes == 0
