@@ -56,6 +56,9 @@ class AlignParams:
     require_valid_pair: bool
     strand_filter: str  # "unstranded" | "fiveprime" | "threeprime"
     stride: int = 1  # probe every stride-th window (1 = every position)
+    # fuse the window stage (pack+revcomp+canonical+hash) into one Pallas
+    # kernel; it is ~80% of chunk time on the XLA elementwise path
+    window_kernel: bool = False
 
     @classmethod
     def from_config(cls, config: Config, index: KmerIndex, strand_filter: str = "unstranded"):
@@ -69,7 +72,21 @@ class AlignParams:
             require_valid_pair=bool(config.require_valid_pair),
             strand_filter=strand_filter,
             stride=int(getattr(config, "kmer_stride", 1)),
+            window_kernel=_default_window_kernel(),
         )
+
+
+def _default_window_kernel() -> bool:
+    """Pallas window fusion is on for real TPU backends, off on CPU (where
+    tests run the jnp path; interpret-mode Pallas would be slower)."""
+    import os
+
+    if os.environ.get("NIMBLE_TPU_NO_WINDOW_KERNEL", "") == "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 # inline the class bitsets into bucket rows when they are this narrow or
@@ -404,10 +421,23 @@ def lookup_mono_bits(hi, lo, valid, tables, k: int, W: int):
     c_hi, c_lo, fwd_is_canon, palindrome = _canonical_keys(hi, lo, k)
     nb2 = tables["mono_bucket"].shape[0]
     h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb2)
-    hi_i = _bitcast_i32(c_hi)
-    lo_i = _bitcast_i32(c_lo)
-    B, P = hi.shape
-    entry = 2 + 2 * W
+    return mono_probe(
+        _bitcast_i32(c_hi),
+        _bitcast_i32(c_lo),
+        h1,
+        fwd_is_canon,
+        palindrome,
+        valid,
+        tables,
+        W,
+    )
+
+
+def mono_probe(hi_i, lo_i, h1, fwd_is_canon, palindrome, valid, tables, W: int):
+    """Mono-table probe from precomputed canonical keys: hi_i/lo_i int32
+    bitcast canonical codes, h1 the mono bucket hash, plus orientation/
+    validity masks (all (B, P)). Returns (bits_fwd, bits_rev)."""
+    B, P = hi_i.shape
 
     S = MONO_SLOTS
     row = tables["mono_bucket"][h1.astype(jnp.int32)]  # (B, P, S*entry)
@@ -509,6 +539,23 @@ def revcomp_device(codes: jnp.ndarray, lens: jnp.ndarray):
     return jnp.where(src >= 0, comp, jnp.int8(N_CODE)).astype(codes.dtype)
 
 
+def _select_orientation(bits_f_w, bits_r_w, matched_f, matched_r, score_f, score_r, p):
+    """Strand-filter orientation selection + single AND-intersection over
+    the selected orientation's bitset rows. Returns
+    (bits, score, fwd_score, rev_score)."""
+    if p.strand_filter == "fiveprime":
+        use_fwd = jnp.ones_like(score_f, dtype=bool)
+    elif p.strand_filter == "threeprime":
+        use_fwd = jnp.zeros_like(score_f, dtype=bool)
+    else:  # unstranded: higher-scoring orientation, ties -> forward
+        use_fwd = score_f >= score_r
+    sel_rows = jnp.where(use_fwd[:, None, None], bits_f_w, bits_r_w)
+    matched_sel = jnp.where(use_fwd[:, None], matched_f, matched_r)
+    bits = and_reduce_bits(sel_rows, matched_sel)
+    score = jnp.where(use_fwd, score_f, score_r)
+    return bits, score, score_f, score_r
+
+
 def _score_mate(codes, lens, tables, p: AlignParams):
     """Score one mate in both orientations; returns
     (bits, score, fwd_score, rev_score) after orientation selection.
@@ -517,16 +564,42 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     forward-coordinate position p, the class matched by the reverse
     complement's corresponding window; coverage and intersection are
     invariant under the coordinate reflection)."""
+    inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
+    mono = inline and "mono_bucket" in tables
+
+    if p.window_kernel and mono:
+        # fused Pallas window stage straight to canonical keys + mono hash
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        nb2 = tables["mono_bucket"].shape[0]
+        hi_i, lo_i, h1, _h2, fwd_c, palin, valid = kmer_keys_pallas(
+            codes, lens, p.k, nb2
+        )
+        if p.stride > 1:
+            hi_i, lo_i, h1, fwd_c, palin, valid = (
+                a[:, :: p.stride] for a in (hi_i, lo_i, h1, fwd_c, palin, valid)
+            )
+        W = tables["class_bits"].shape[1]
+        bits_f_w, bits_r_w = mono_probe(
+            hi_i, lo_i, h1, fwd_c, palin, valid, tables, W
+        )
+        matched_f = jnp.any(bits_f_w != 0, axis=-1)
+        matched_r = jnp.any(bits_r_w != 0, axis=-1)
+        score_f = coverage_score(matched_f, lens, p.k, codes.shape[1], p.stride)
+        score_r = coverage_score(matched_r, lens, p.k, codes.shape[1], p.stride)
+        return _select_orientation(
+            bits_f_w, bits_r_w, matched_f, matched_r, score_f, score_r, p
+        )
+
     hi, lo, valid = kmer_hi_lo(codes, lens, p.k)
     if p.stride > 1:
         hi = hi[:, :: p.stride]
         lo = lo[:, :: p.stride]
         valid = valid[:, :: p.stride]
 
-    inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
     if inline:
         W = tables["class_bits"].shape[1]
-        if "mono_bucket" in tables:  # static: single-hash 1-row probe
+        if mono:  # static: single-hash 1-row probe
             bits_f_w, bits_r_w = lookup_mono_bits(hi, lo, valid, tables, p.k, W)
         else:
             bits_f_w, bits_r_w = lookup_inline_bits(
@@ -640,6 +713,12 @@ class AlignEngine:
         self.index = index
         self.config = config
         self.params = AlignParams.from_config(config, index, strand_filter)
+        if mesh is not None and self.params.window_kernel:
+            # Pallas under the SPMD partitioner needs explicit shard_map
+            # plumbing; the multi-chip path stays on the XLA window stage
+            import dataclasses as _dc
+
+            self.params = _dc.replace(self.params, window_kernel=False)
         self.max_len = max(max_len, index.k)
         self.paired = paired
         self.mesh = mesh

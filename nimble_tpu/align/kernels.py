@@ -32,6 +32,17 @@ from nimble_tpu.index.hashing import _C1, _C2, _GOLDEN  # type: ignore
 N_CODE = 4
 
 
+def _shl(x, n: int):
+    """Left shift by a trace-time constant, as a multiply. Mosaic's vector
+    left-shift miscompiles to ZEROS for shift amounts 16..22 when the
+    operand's known value range lets the compiler narrow lanes (measured on
+    this libtpu: (x & 3) << 20 == 0); multiplies take the correct widening
+    path at identical VPU cost and wrap identically mod 2^32."""
+    if n == 0:
+        return x
+    return x * x.dtype.type((1 << n) & 0xFFFFFFFF)
+
+
 def _mix32(a, b):
     x = a * jnp.uint32(_GOLDEN) + b
     x = x ^ (x >> jnp.uint32(16))
@@ -42,16 +53,16 @@ def _mix32(a, b):
 
 
 def _rev2_32(y):
-    y = ((y & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+    y = _shl(y & jnp.uint32(0x33333333), 2) | (
         (y >> jnp.uint32(2)) & jnp.uint32(0x33333333)
     )
-    y = ((y & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+    y = _shl(y & jnp.uint32(0x0F0F0F0F), 4) | (
         (y >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)
     )
-    y = ((y & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+    y = _shl(y & jnp.uint32(0x00FF00FF), 8) | (
         (y >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)
     )
-    return (y << jnp.uint32(16)) | (y >> jnp.uint32(16))
+    return _shl(y, 16) | (y >> jnp.uint32(16))
 
 
 def _kmer_keys_body(k: int, n_buckets: int, codes_ref, lens_ref, c_hi_ref,
@@ -68,17 +79,22 @@ def _kmer_keys_body(k: int, n_buckets: int, codes_ref, lens_ref, c_hi_ref,
         bitpos = 2 * (k - 1 - j)
         window = c[:, j : j + P] & jnp.uint32(3)
         if bitpos >= 32:
-            hi = hi | (window << jnp.uint32(bitpos - 32))
+            hi = hi | _shl(window, bitpos - 32)
         else:
-            lo = lo | (window << jnp.uint32(bitpos))
+            lo = lo | _shl(window, bitpos)
 
-    bad = (codes == N_CODE).astype(jnp.int32)
-    bad_cum = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(bad, axis=1)], axis=1
-    )
-    no_n = (bad_cum[:, k:] - bad_cum[:, :-k]) == 0
+    # window-has-no-N via log-step shifted ANDs (cumsum has no Mosaic
+    # lowering): after the loop acc[i] = AND(good[i..i+w)) with w the
+    # largest power of two <= k, and two overlapping w-windows cover [p, p+k)
+    good = c != jnp.uint32(N_CODE)  # int8 vector cmp has no Mosaic lowering
+    acc = good
+    w = 1
+    while w * 2 <= k:
+        acc = acc[:, : acc.shape[1] - w] & acc[:, w:]
+        w *= 2
+    no_n = acc[:, :P] & acc[:, k - w : k - w + P]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    valid = no_n & (pos + k <= lens_ref[:][:, None])
+    valid = no_n & (pos + k <= lens_ref[:])  # lens is (B, 1)
 
     # elementwise reverse complement (see engine.revcomp_hi_lo)
     nh = _rev2_32(~lo)
@@ -88,7 +104,7 @@ def _kmer_keys_body(k: int, n_buckets: int, codes_ref, lens_ref, c_hi_ref,
         rc_lo = nh >> jnp.uint32(s - 32) if s > 32 else nh
         rc_hi = jnp.zeros_like(nh)
     else:
-        rc_lo = (nl >> jnp.uint32(s)) | (nh << jnp.uint32(32 - s))
+        rc_lo = (nl >> jnp.uint32(s)) | _shl(nh, 32 - s)
         rc_hi = nh >> jnp.uint32(s)
     if 2 * k > 32:
         rc_hi = rc_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
@@ -115,21 +131,52 @@ def _kmer_keys_body(k: int, n_buckets: int, codes_ref, lens_ref, c_hi_ref,
     valid_ref[:] = valid
 
 
-def kmer_keys_pallas(codes, lens, k: int, n_buckets: int, interpret: bool = False):
+def kmer_keys_pallas(
+    codes,
+    lens,
+    k: int,
+    n_buckets: int,
+    interpret: bool = False,
+    block_b: int = 512,
+):
     """Fused Pallas window stage. codes (B, L) int8, lens (B,) int32 ->
     (c_hi, c_lo [int32 bitcast], h1, h2 [int32], fwd_canon, palindrome,
-    valid [bool]) each (B, P)."""
+    valid [bool]) each (B, P).
+
+    Grids over the read axis in block_b-row blocks so each block's working
+    set (codes slab + ~20 (block_b, P) uint32 intermediates) stays well
+    inside the ~16MB VMEM; B is padded up to a multiple of block_b."""
     B, L = codes.shape
     P = L - k + 1
-    out = jax.ShapeDtypeStruct((B, P), jnp.int32)
-    outb = jax.ShapeDtypeStruct((B, P), jnp.bool_)
-    return pl.pallas_call(
+    if B <= block_b:
+        grid_b = 1
+        block_b = B
+        pad = 0
+    else:
+        grid_b = -(-B // block_b)
+        pad = grid_b * block_b - B
+        if pad:
+            codes = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=N_CODE)
+            lens = jnp.pad(lens, (0, pad))
+    # 2-D lens: 1-D int32 operands hit an XLA(T(1024))/Mosaic(T(512))
+    # layout mismatch at block sizes < 1024
+    lens2 = lens.reshape(-1, 1)
+    out = jax.ShapeDtypeStruct((grid_b * block_b, P), jnp.int32)
+    outb = jax.ShapeDtypeStruct((grid_b * block_b, P), jnp.bool_)
+    res = pl.pallas_call(
         partial(_kmer_keys_body, k, n_buckets),
+        grid=(grid_b,),
         out_shape=(out, out, out, out, outb, outb, outb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)),
+        out_specs=tuple(
+            pl.BlockSpec((block_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(7)
+        ),
         interpret=interpret,
-    )(codes, lens)
+    )(codes, lens2)
+    if pad:
+        res = tuple(r[:B] for r in res)
+    return res
