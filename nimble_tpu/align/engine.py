@@ -103,6 +103,7 @@ INLINE_BITS_MAX_WORDS = 16  # up to 512 features
 MONO_SLOTS = 4
 MONO_MAX_BYTES = 2 << 30
 MONO_MAX_STASH = 64
+MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 
 
 def _device_tables(index: KmerIndex, inline_ok: bool = True):
@@ -189,30 +190,45 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     n = hi.shape[0]
     if n == 0:
         return None
-    nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + 1)  # expected load <= 0.5
     entry = 2 + 2 * W
-    if nb2 * MONO_SLOTS * entry * 4 > MONO_MAX_BYTES:
+    # grow the table until the overflow stash is tiny: every stash entry
+    # costs a full (B, P, W) vector sweep per probe, which dwarfs the
+    # memory cost of more buckets (measured: a ~34-entry stash added ~7ms
+    # per chunk on a stacked table)
+    placed = None
+    best = None  # (stash_size, nb2, h_sorted, order, placed)
+    for extra in (1, 2, 3, 4, 5, 6):
+        nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + extra)
+        if nb2 * MONO_SLOTS * entry * 4 > MONO_MAX_BYTES:
+            break
+        h, _ = bucket_hashes_np(hi, lo, nb2)
+        order = np.argsort(h, kind="stable")
+        h_sorted = h[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = h_sorted[1:] != h_sorted[:-1]
+        start = np.flatnonzero(boundary)
+        group = np.cumsum(boundary) - 1
+        rank = np.arange(n) - start[group]
+        placed = rank < MONO_SLOTS
+        n_over = int((~placed).sum())
+        if best is None or n_over < best[0]:
+            best = (n_over, nb2, h_sorted, order, placed)
+        if n_over <= MONO_TIGHT_STASH:
+            break
+    if best is None or best[0] > MONO_MAX_STASH:
         return None
-
-    h, _ = bucket_hashes_np(hi, lo, nb2)
-    order = np.argsort(h, kind="stable")
-    h_sorted = h[order]
-    boundary = np.empty(n, dtype=bool)
-    boundary[0] = True
-    boundary[1:] = h_sorted[1:] != h_sorted[:-1]
-    start = np.flatnonzero(boundary)
-    group = np.cumsum(boundary) - 1
-    rank = np.arange(n) - start[group]
-    placed = rank < MONO_SLOTS
-    if (~placed).sum() > MONO_MAX_STASH:
-        return None
+    _, nb2, h_sorted, order, placed = best
 
     vs_bits = bits_of(vs)
     vd_bits = bits_of(vd)
     # PLANAR row layout (slot-minor within each field) so every post-gather
     # slice is contiguous: [hi x S | lo x S | vs_bits (W, S) | vd_bits (W, S)]
+    # Empty slots carry the impossible key hi = 0xFFFFFFFF (canonical codes
+    # have hi < 2^30 for k <= 31), so the probe needs no occupancy check.
     S = MONO_SLOTS
     table = np.zeros((nb2, S * entry), dtype=np.int32)
+    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
     keys = order[placed]
     b = h_sorted[placed].astype(np.int64)
     s = rank[placed].astype(np.int64)
@@ -229,13 +245,12 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     ms_lo = np.zeros(pad, dtype=np.int32)
     ms_vsb = np.zeros((pad, W), dtype=np.int32)
     ms_vdb = np.zeros((pad, W), dtype=np.int32)
+    ms_hi[:] = -1  # EMPTY sentinel: padding rows can never match a query
     if n_stash:
         ms_hi[:n_stash] = hi[skeys].view(np.int32)
         ms_lo[:n_stash] = lo[skeys].view(np.int32)
         ms_vsb[:n_stash] = vs_bits[skeys]
         ms_vdb[:n_stash] = vd_bits[skeys]
-    # zero padding rows are safe: their bitsets are zero, so a spurious
-    # key-(0,0) match contributes nothing
     return {
         "mono_bucket": jnp.asarray(table),
         "mono_stash_hi": jnp.asarray(ms_hi),
@@ -433,21 +448,50 @@ def lookup_mono_bits(hi, lo, valid, tables, k: int, W: int):
     )
 
 
-def mono_probe(hi_i, lo_i, h1, fwd_is_canon, palindrome, valid, tables, W: int):
+def mono_probe(
+    hi_i, lo_i, h1, fwd_is_canon, palindrome, valid, tables, W: int,
+    use_kernel: bool = False,
+):
     """Mono-table probe from precomputed canonical keys: hi_i/lo_i int32
     bitcast canonical codes, h1 the mono bucket hash, plus orientation/
-    validity masks (all (B, P)). Returns (bits_fwd, bits_rev)."""
+    validity masks (all (B, P)). Returns (bits_fwd, bits_rev).
+
+    use_kernel routes the post-gather slot select through the Pallas
+    kernel (one VMEM pass; XLA's fusion of the same select costs ~2x the
+    gather at stacked row widths)."""
     B, P = hi_i.shape
 
-    S = MONO_SLOTS
+    # slots per bucket derived from the row width (stacked tables use
+    # narrower buckets than the single-library MONO_SLOTS layout)
+    S = tables["mono_bucket"].shape[1] // (2 + 2 * W)
     row = tables["mono_bucket"][h1.astype(jnp.int32)]  # (B, P, S*entry)
+    if use_kernel:
+        from nimble_tpu.align.kernels import mono_select_pallas
+
+        stash = jnp.concatenate(
+            [
+                tables["mono_stash_hi"][:, None],
+                tables["mono_stash_lo"][:, None],
+                tables["mono_stash_vs_bits"],
+                tables["mono_stash_vd_bits"],
+            ],
+            axis=1,
+        )
+        # the kernel wants field/slot-major planes; XLA fuses this
+        # transpose into the gather's scattered writes
+        rowT = jnp.transpose(row, (2, 0, 1))
+        bf_t, br_t = mono_select_pallas(
+            rowT, hi_i, lo_i, fwd_is_canon, palindrome, valid, stash, S, W
+        )
+        return jnp.transpose(bf_t, (1, 2, 0)), jnp.transpose(br_t, (1, 2, 0))
     # planar layout: every slice below is contiguous in the gathered row
     bk_hi = row[..., 0:S]
     bk_lo = row[..., S : 2 * S]
     vsb = row[..., 2 * S : 2 * S + W * S].reshape(B, P, W, S)
     vdb = row[..., 2 * S + W * S :].reshape(B, P, W, S)
-    occupied = jnp.any((vsb | vdb) != 0, axis=2)  # (B, P, S)
-    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None]) & occupied
+    # empty slots hold the impossible key hi = -1 (canonical hi < 2^30),
+    # so a bare key compare suffices — no occupancy plane to read
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None])
     sel = match[:, :, None, :]  # (B, P, 1, S)
     # at most one slot matches (keys unique): sum-select it
     vs_bits = jnp.where(sel, vsb, 0).sum(axis=3)
@@ -581,7 +625,7 @@ def _score_mate(codes, lens, tables, p: AlignParams):
             )
         W = tables["class_bits"].shape[1]
         bits_f_w, bits_r_w = mono_probe(
-            hi_i, lo_i, h1, fwd_c, palin, valid, tables, W
+            hi_i, lo_i, h1, fwd_c, palin, valid, tables, W, use_kernel=True
         )
         matched_f = jnp.any(bits_f_w != 0, axis=-1)
         matched_r = jnp.any(bits_r_w != 0, axis=-1)
@@ -642,15 +686,24 @@ def align_step(tables, p: AlignParams, r1_codes, r1_lens, r2_codes=None, r2_lens
     total score, r1_fwd/r1_rev/r2_fwd/r2_rev orientation scores, r1_score/
     r2_score selected per-mate scores, pass_ (B,) bool score-filter verdict.
     """
-    bits1, score1, f1, r1 = _score_mate(r1_codes, r1_lens, tables, p)
+    m1 = _score_mate(r1_codes, r1_lens, tables, p)
+    m2 = _score_mate(r2_codes, r2_lens, tables, p) if r2_codes is not None else None
+    return combine_mates(p, r1_lens, m1, r2_lens, m2)
+
+
+def combine_mates(p: AlignParams, r1_lens, m1, r2_lens=None, m2=None):
+    """Mate hit-set combination + score filters from per-mate
+    (bits, score, fwd_score, rev_score) tuples. Shared by the single- and
+    stacked-library align steps."""
+    bits1, score1, f1, r1 = m1
     valid1 = (
         (score1 >= p.score_threshold)
         & (score1.astype(jnp.float32) >= p.score_percent * r1_lens.astype(jnp.float32))
         & jnp.any(bits1 != 0, axis=1)
     )
 
-    if r2_codes is not None:
-        bits2, score2, f2, r2 = _score_mate(r2_codes, r2_lens, tables, p)
+    if m2 is not None:
+        bits2, score2, f2, r2 = m2
         valid2 = (
             (score2 >= p.score_threshold)
             & (score2.astype(jnp.float32) >= p.score_percent * r2_lens.astype(jnp.float32))
@@ -683,7 +736,7 @@ def align_step(tables, p: AlignParams, r1_codes, r1_lens, r2_codes=None, r2_lens
         bits = jnp.where(valid1[:, None], bits1, jnp.int32(0))
         score = jnp.where(valid1, score1, 0)
         any_valid = valid1
-        score2 = f2 = r2 = jnp.zeros_like(score1)
+        f2 = r2 = jnp.zeros_like(score1)
 
     pass_ = any_valid & (score >= p.score_filter) & jnp.any(bits != 0, axis=1)
     return {

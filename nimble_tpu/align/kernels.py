@@ -180,3 +180,91 @@ def kmer_keys_pallas(
     if pad:
         res = tuple(r[:B] for r in res)
     return res
+
+
+def _mono_select_body(S: int, W: int, n_stash: int, rowT_ref, hi_ref, lo_ref,
+                      fc_ref, pal_ref, valid_ref, stash_ref, bits_f_ref,
+                      bits_r_ref):
+    """Slot select for mono-table probes, all in 2-D (b, P) planes.
+
+    XLA's fusion of this select materializes multiple (B, P, W*S) HBM
+    intermediates (~2x the gather cost at stacked widths), and a naive
+    Pallas version using (b, P, S) rank-3 vectors pads the size-S minor dim
+    to 128 lanes (32x VMEM blowup -> register spills). Here the gathered
+    rows arrive TRANSPOSED as (RW, B, P): every field/slot plane rowT[j]
+    is a clean 2-D (b, P) vector and selects are int32 mask arithmetic
+    (Mosaic cannot insert a minor dim on i1 vectors either).
+
+    Outputs are (W, b, P) planes; the stash is (n_stash, 2 + 2W) rows of
+    [hi, lo, vs_bits, vd_bits]."""
+    hi_i = hi_ref[:]
+    lo_i = lo_ref[:]
+
+    vs = [None] * W
+    vd = [None] * W
+    for s in range(S):
+        m = -(((rowT_ref[s] == hi_i) & (rowT_ref[S + s] == lo_i)).astype(jnp.int32))
+        for w in range(W):
+            vsw = m & rowT_ref[2 * S + w * S + s]
+            vdw = m & rowT_ref[2 * S + (W + w) * S + s]
+            vs[w] = vsw if vs[w] is None else (vs[w] | vsw)
+            vd[w] = vdw if vd[w] is None else (vd[w] | vdw)
+
+    for s in range(n_stash):
+        m = -(((hi_i == stash_ref[s, 0]) & (lo_i == stash_ref[s, 1])).astype(jnp.int32))
+        for w in range(W):
+            vs[w] = vs[w] | (m & stash_ref[s, 2 + w])
+            vd[w] = vd[w] | (m & stash_ref[s, 2 + W + w])
+
+    m_fc = -(fc_ref[:].astype(jnp.int32))
+    m_pal = -(pal_ref[:].astype(jnp.int32))
+    m_v = -(valid_ref[:].astype(jnp.int32))
+    for w in range(W):
+        f = vd[w] ^ ((vs[w] ^ vd[w]) & m_fc)    # fc ? vs : vd
+        alt = vs[w] ^ ((vd[w] ^ vs[w]) & m_fc)  # fc ? vd : vs
+        r = alt ^ ((vs[w] ^ alt) & m_pal)       # pal ? vs : alt
+        bits_f_ref[w] = f & m_v
+        bits_r_ref[w] = r & m_v
+
+
+def mono_select_pallas(rowT, hi_i, lo_i, fc, pal, valid, stash, S: int, W: int,
+                       interpret: bool = False, block_b: int = 512):
+    """rowT (RW, B, P) transposed gathered bucket rows + (B, P) keys/masks +
+    stash (n_stash, 2+2W) -> (bits_f, bits_r) each (W, B, P) int32."""
+    RW, B, P = rowT.shape
+    n_stash = stash.shape[0]
+    if B <= block_b:
+        grid_b, block_b, pad = 1, B, 0
+    else:
+        grid_b = -(-B // block_b)
+        pad = grid_b * block_b - B
+        if pad:
+            rowT = jnp.pad(rowT, ((0, 0), (0, pad), (0, 0)))
+            hi_i, lo_i = (jnp.pad(a, ((0, pad), (0, 0))) for a in (hi_i, lo_i))
+            fc, pal, valid = (
+                jnp.pad(a, ((0, pad), (0, 0))) for a in (fc, pal, valid)
+            )
+    out = jax.ShapeDtypeStruct((W, grid_b * block_b, P), jnp.int32)
+    spec2 = lambda: pl.BlockSpec((block_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        partial(_mono_select_body, S, W, n_stash),
+        grid=(grid_b,),
+        out_shape=(out, out),
+        in_specs=[
+            pl.BlockSpec((RW, block_b, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            spec2(),
+            spec2(),
+            spec2(),
+            spec2(),
+            spec2(),
+            pl.BlockSpec((n_stash, 2 + 2 * W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, block_b, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, block_b, P), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(rowT, hi_i, lo_i, fc, pal, valid, stash)
+    if pad:
+        res = tuple(r[:, :B] for r in res)
+    return res

@@ -149,6 +149,10 @@ class LibraryRunner:
         """Transfer device outputs and append passing rows to the TSV."""
         pending, batch = handle
         out = self.engine.collect_async(pending)
+        return self.emit_out(out, batch)
+
+    def emit_out(self, out, batch) -> int:
+        """Append this library's passing rows from host-numpy outputs."""
         if out is None:
             return 0
         pass_ = out["pass_"]
@@ -277,6 +281,33 @@ def align_files(
                 runner.trim_target = trim_targets[lib_idx]
             runners.append(runner)
 
+    # stacked multi-library mode: when every library shares k/stride (and
+    # trim), ONE device probe per window answers all of them (align/stacked
+    # .py); otherwise each library keeps its standalone engine
+    stacked = None
+    if (
+        len(runners) > 1
+        and len({r.trim_target for r in runners}) == 1
+        and os.environ.get("NIMBLE_TPU_NO_STACK", "") != "1"
+    ):
+        from nimble_tpu.align.stacked import StackedEngine
+
+        if StackedEngine.compatible(
+            [r.index for r in runners], [r.config for r in runners]
+        ):
+            try:
+                stacked = StackedEngine(
+                    [r.index for r in runners],
+                    [r.config for r in runners],
+                    strand_filter=strand_filter,
+                    chunk_size=chunk_size,
+                    max_len=max_len,
+                    paired=paired,
+                )
+                log.event("stacked_engine", n_libraries=len(runners))
+            except ValueError:
+                stacked = None
+
     progress_path = output + ".progress.json"
     batches_done = 0
     if resume and os.path.exists(progress_path):
@@ -356,17 +387,38 @@ def align_files(
             def finalize(entry):
                 nonlocal total
                 done_idx, n, handles = entry
-                for r, h in zip(runners, handles):
-                    r.finalize_batch(h)
+                if stacked is not None:
+                    pending, b = handles
+                    outs = stacked.collect_async(pending)
+                    for r, out in zip(runners, outs or []):
+                        r.emit_out(out, b)
+                else:
+                    for r, h in zip(runners, handles):
+                        r.finalize_batch(h)
                 total += n
                 tput.add(n)
                 save_progress(done_idx)
+
+            def submit(batch):
+                if stacked is None:
+                    return [r.submit_batch(batch) for r in runners]
+                r1_lens = batch["r1_lens"]
+                r2_lens = batch.get("r2_lens")
+                trim = runners[0].trim_target  # equal across libs (gate above)
+                if trim > 0:
+                    r1_lens = np.minimum(r1_lens, trim)
+                    if r2_lens is not None:
+                        r2_lens = np.minimum(r2_lens, trim)
+                pending = stacked.align_batch_async(
+                    batch["r1_codes"], r1_lens, batch.get("r2_codes"), r2_lens
+                )
+                return (pending, batch)
 
             for batch_idx, batch in enumerate(batches):
                 if batch_idx < batches_done:
                     continue  # resume fast-forward
                 n = batch["r1_codes"].shape[0]
-                handles = [r.submit_batch(batch) for r in runners]
+                handles = submit(batch)
                 if inflight is not None:
                     finalize(inflight)
                 inflight = (batch_idx, n, handles)

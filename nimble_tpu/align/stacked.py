@@ -1,0 +1,309 @@
+"""Stacked multi-library alignment: ONE probe per window for ALL libraries.
+
+The reference aligns multiple libraries in a single pass over the reads but
+runs each library's index separately per read (reference: -r/-o pairs,
+nimble/__main__.py:182-189). On this hardware the probe cost is a fixed
+per-gather-ROW cost (docs/PERF.md), so L separate library probes cost L
+rows/window. This module merges the libraries' canonical k-mer entries into
+one mono hash table whose per-slot payload is the CONCATENATION of each
+library's (vs_bits, vd_bits) segments: one row gather answers every library
+at once, and the per-library tails (coverage, orientation, mate combine,
+score filters) are cheap vector ops on word-range slices.
+
+Per-library semantics are preserved exactly: a window that matches library
+A but not B carries all-zero bits in B's segment, and B's matched mask
+(any(seg != 0)) routes it to the AND-identity — the same miss handling as
+B's standalone engine.
+
+Stacking requirements (validated by StackedEngine.compatible): equal k,
+equal kmer_stride, and combined bitset width within the mono row budget.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nimble_tpu.align import engine as E
+from nimble_tpu.config import Config
+from nimble_tpu.index.builder import KmerIndex
+from nimble_tpu.index.hashing import bucket_hashes_jnp, bucket_hashes_np
+
+# combined-width budget: mono rows stay within the flat row-gather cost
+# region measured on v5e (docs/PERF.md); beyond it stacking still wins on
+# row count but the table memory grows linearly
+STACK_MAX_WORDS = 64  # up to 2048 combined (padded) feature bits
+# slots per stacked bucket: narrower rows than the single-library mono
+# table because the per-slot payload is L libraries wide
+STACK_SLOTS = 2
+
+
+def _lib_entries(index: KmerIndex) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One library's occupied canonical entries as (key u64, vs_bits, vd_bits)
+    with bits decoded from its class table ((n, W_l) int32; zero = absent
+    orientation)."""
+    W = index.bitset_words
+    cb = index.class_bits.view(np.int32)
+
+    def bits_of(vals):
+        out = np.zeros((vals.shape[0], W), dtype=np.int32)
+        occ = vals >= 0
+        out[occ] = cb[vals[occ]]
+        return out
+
+    occ = (index.table_vsame >= 0) | (index.table_vdiff >= 0)
+    socc = (index.stash_vsame >= 0) | (index.stash_vdiff >= 0)
+    hi = np.concatenate([index.table_hi[occ], index.stash_hi[socc]])
+    lo = np.concatenate([index.table_lo[occ], index.stash_lo[socc]])
+    vs = np.concatenate([index.table_vsame[occ], index.stash_vsame[socc]])
+    vd = np.concatenate([index.table_vdiff[occ], index.stash_vdiff[socc]])
+    keys = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    return keys, bits_of(vs), bits_of(vd)
+
+
+def build_stacked_tables(
+    indexes: Sequence[KmerIndex], slots: Optional[int] = None
+) -> Optional[dict]:
+    """Merge libraries' entries by canonical key into one mono table whose
+    slot payload is [vs_all | vd_all] with vs_all = lib0 vs | lib1 vs | ...
+    Layout matches engine._build_mono_tables (planar, slot-minor), so
+    engine.mono_probe consumes it unchanged with W = sum of W_l.
+
+    Returns the device table dict + ('seg_words', offsets) metadata, or
+    None when the stack exceeds the memory/width budget."""
+    widths = [ix.bitset_words for ix in indexes]
+    W_cat = int(np.sum(widths))
+    if W_cat > STACK_MAX_WORDS:
+        return None
+    offs = np.zeros(len(indexes) + 1, dtype=np.int64)
+    np.cumsum(widths, out=offs[1:])
+
+    per_lib = [_lib_entries(ix) for ix in indexes]
+    all_keys = np.unique(np.concatenate([k for k, _, _ in per_lib]))
+    n = all_keys.shape[0]
+    if n == 0:
+        return None
+    vs_cat = np.zeros((n, W_cat), dtype=np.int32)
+    vd_cat = np.zeros((n, W_cat), dtype=np.int32)
+    for li, (keys, vsb, vdb) in enumerate(per_lib):
+        pos = np.searchsorted(all_keys, keys)
+        vs_cat[pos, offs[li] : offs[li + 1]] = vsb
+        vd_cat[pos, offs[li] : offs[li + 1]] = vdb
+
+    S = slots or STACK_SLOTS
+    entry = 2 + 2 * W_cat
+    hi = (all_keys >> np.uint64(32)).astype(np.uint32)
+    lo = (all_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # grow the table until the overflow stash is tiny: every stash entry
+    # costs a (B, P, W_cat) vector sweep per probe (see engine's
+    # MONO_TIGHT_STASH note)
+    placed = None
+    best = None  # (stash_size, nb2, h_sorted, order, placed)
+    for extra in (1, 2, 3, 4, 5, 6):
+        nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + extra)
+        if nb2 * S * entry * 4 > E.MONO_MAX_BYTES:
+            break
+        h, _ = bucket_hashes_np(hi, lo, nb2)
+        order = np.argsort(h, kind="stable")
+        h_sorted = h[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = h_sorted[1:] != h_sorted[:-1]
+        start = np.flatnonzero(boundary)
+        group = np.cumsum(boundary) - 1
+        rank = np.arange(n) - start[group]
+        placed = rank < S
+        n_over = int((~placed).sum())
+        if best is None or n_over < best[0]:
+            best = (n_over, nb2, h_sorted, order, placed)
+        if n_over <= E.MONO_TIGHT_STASH:
+            break
+    if best is None or best[0] > E.MONO_MAX_STASH:
+        return None
+    _, nb2, h_sorted, order, placed = best
+
+    # empty slots carry the impossible key hi = -1 (canonical hi < 2^30)
+    table = np.zeros((nb2, S * entry), dtype=np.int32)
+    table[:, 0:S] = -1
+    keys_idx = order[placed]
+    b = h_sorted[placed].astype(np.int64)
+    s = rank[placed].astype(np.int64)
+    table[b, s] = hi[keys_idx].view(np.int32)
+    table[b, S + s] = lo[keys_idx].view(np.int32)
+    for w in range(W_cat):
+        table[b, 2 * S + w * S + s] = vs_cat[keys_idx, w]
+        table[b, 2 * S + W_cat * S + w * S + s] = vd_cat[keys_idx, w]
+
+    n_stash = int((~placed).sum())
+    pad = max(1, n_stash)
+    skeys = order[~placed]
+    ms_hi = np.zeros(pad, dtype=np.int32)
+    ms_lo = np.zeros(pad, dtype=np.int32)
+    ms_vsb = np.zeros((pad, W_cat), dtype=np.int32)
+    ms_vdb = np.zeros((pad, W_cat), dtype=np.int32)
+    ms_hi[:] = -1  # padding rows can never match
+    if n_stash:
+        ms_hi[:n_stash] = hi[skeys].view(np.int32)
+        ms_lo[:n_stash] = lo[skeys].view(np.int32)
+        ms_vsb[:n_stash] = vs_cat[skeys]
+        ms_vdb[:n_stash] = vd_cat[skeys]
+    return {
+        "mono_bucket": jnp.asarray(table),
+        "mono_stash_hi": jnp.asarray(ms_hi),
+        "mono_stash_lo": jnp.asarray(ms_lo),
+        "mono_stash_vs_bits": jnp.asarray(ms_vsb),
+        "mono_stash_vd_bits": jnp.asarray(ms_vdb),
+        "seg_words": tuple(int(v) for v in offs),
+    }
+
+
+def _probe_rows(codes, lens, tables, p: E.AlignParams, W_cat: int):
+    """Window stage + ONE mono probe -> ((bits_f, bits_r) rows of
+    (B, P, W_cat), plus per-window validity already folded in)."""
+    nb2 = tables["mono_bucket"].shape[0]
+    if p.window_kernel:
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        hi_i, lo_i, h1, _h2, fc, pal, valid = kmer_keys_pallas(
+            codes, lens, p.k, nb2
+        )
+    else:
+        hi, lo, valid = E.kmer_hi_lo(codes, lens, p.k)
+        c_hi, c_lo, fc, pal = E._canonical_keys(hi, lo, p.k)
+        h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb2)
+        hi_i = E._bitcast_i32(c_hi)
+        lo_i = E._bitcast_i32(c_lo)
+        h1 = h1.astype(jnp.int32)
+    if p.stride > 1:
+        hi_i, lo_i, h1, fc, pal, valid = (
+            a[:, :: p.stride] for a in (hi_i, lo_i, h1, fc, pal, valid)
+        )
+    return E.mono_probe(
+        hi_i, lo_i, h1, fc, pal, valid, tables, W_cat,
+        use_kernel=p.window_kernel,
+    )
+
+
+def stacked_align_step(
+    tables,
+    params: Sequence[E.AlignParams],
+    seg_words: Sequence[int],
+    r1_codes,
+    r1_lens,
+    r2_codes=None,
+    r2_lens=None,
+) -> List[dict]:
+    """One jittable step: one probe per mate, L per-library tails. Returns
+    one align_step-style output dict per library."""
+    W_cat = int(seg_words[-1])
+    p0 = params[0]  # window params (k/stride/window_kernel equal across libs)
+    rows1 = _probe_rows(r1_codes, r1_lens, tables, p0, W_cat)
+    rows2 = (
+        _probe_rows(r2_codes, r2_lens, tables, p0, W_cat)
+        if r2_codes is not None
+        else None
+    )
+    L1 = r1_codes.shape[1]
+
+    outs = []
+    for li, p in enumerate(params):
+        w0, w1 = int(seg_words[li]), int(seg_words[li + 1])
+
+        def mate(rows, lens, L):
+            bf = rows[0][..., w0:w1]
+            br = rows[1][..., w0:w1]
+            mf = jnp.any(bf != 0, axis=-1)
+            mr = jnp.any(br != 0, axis=-1)
+            sf = E.coverage_score(mf, lens, p.k, L, p.stride)
+            sr = E.coverage_score(mr, lens, p.k, L, p.stride)
+            return E._select_orientation(bf, br, mf, mr, sf, sr, p)
+
+        m1 = mate(rows1, r1_lens, L1)
+        m2 = mate(rows2, r2_lens, r2_codes.shape[1]) if rows2 is not None else None
+        outs.append(E.combine_mates(p, r1_lens, m1, r2_lens, m2))
+    return outs
+
+
+class StackedEngine:
+    """Compiled multi-library engine: AlignEngine's batch interface, but one
+    device step returns per-library outputs from a single probe stream."""
+
+    @staticmethod
+    def compatible(indexes: Sequence[KmerIndex], configs: Sequence[Config]) -> bool:
+        ks = {ix.k for ix in indexes}
+        strides = {int(getattr(c, "kmer_stride", 1)) for c in configs}
+        if len(ks) != 1 or len(strides) != 1:
+            return False
+        return sum(ix.bitset_words for ix in indexes) <= STACK_MAX_WORDS
+
+    def __init__(
+        self,
+        indexes: Sequence[KmerIndex],
+        configs: Sequence[Config],
+        strand_filter: str = "unstranded",
+        chunk_size: int = 2048,
+        max_len: int = 256,
+        paired: bool = False,
+    ):
+        self.indexes = list(indexes)
+        self.chunk_size = chunk_size
+        self.max_len = max(max_len, indexes[0].k)
+        self.paired = paired
+        tables = build_stacked_tables(indexes)
+        if tables is None:
+            raise ValueError("libraries not stackable (width/memory budget)")
+        self.seg_words = tables.pop("seg_words")
+        self.tables = tables
+        self.params = [
+            E.AlignParams.from_config(c, ix, strand_filter)
+            for c, ix in zip(configs, indexes)
+        ]
+        params = self.params
+        seg = self.seg_words
+        if paired:
+            self._fn = jax.jit(
+                lambda t, c1, l1, c2, l2: stacked_align_step(
+                    t, params, seg, c1, l1, c2, l2
+                )
+            )
+        else:
+            self._fn = jax.jit(
+                lambda t, c1, l1: stacked_align_step(t, params, seg, c1, l1)
+            )
+
+    _pad = E.AlignEngine._pad
+
+    def align_batch_async(self, r1_codes, r1_lens, r2_codes=None, r2_lens=None):
+        n = r1_codes.shape[0]
+        pending = []
+        for start in range(0, n, self.chunk_size):
+            end = min(start + self.chunk_size, n)
+            c1 = self._pad(r1_codes[start:end], self.chunk_size, E.N_CODE)
+            l1 = self._pad(r1_lens[start:end], self.chunk_size, 0)
+            if self.paired:
+                c2 = self._pad(r2_codes[start:end], self.chunk_size, E.N_CODE)
+                l2 = self._pad(r2_lens[start:end], self.chunk_size, 0)
+                outs = self._fn(self.tables, c1, l1, c2, l2)
+            else:
+                outs = self._fn(self.tables, c1, l1)
+            pending.append((outs, end - start))
+        return pending
+
+    def collect_async(self, pending) -> Optional[List[Dict[str, np.ndarray]]]:
+        """-> one host-numpy output dict per library."""
+        if not pending:
+            return None
+        n_libs = len(pending[0][0])
+        result = []
+        for li in range(n_libs):
+            chunks = [
+                {k: E._to_host(v)[:valid] for k, v in outs[li].items()}
+                for outs, valid in pending
+            ]
+            result.append(
+                {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+            )
+        return result

@@ -39,3 +39,46 @@ def test_kmer_keys_kernel_matches_jnp(k):
     assert np.array_equal(np.asarray(h2), np.asarray(h2_ref).astype(np.int32))
     assert np.array_equal(np.asarray(fwd_canon), np.asarray(fwd_ref))
     assert np.array_equal(np.asarray(palin), np.asarray(pal_ref))
+
+
+def test_mono_select_kernel_matches_jnp():
+    """mono_select_pallas (interpret) must reproduce engine.mono_probe."""
+    import jax
+    from nimble_tpu.align import engine as E
+    from nimble_tpu.align.kernels import mono_select_pallas
+    from nimble_tpu.config import Config, Data
+    from nimble_tpu.index.builder import build_index
+
+    rng = np.random.default_rng(4)
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, size=300)) for _ in range(40)]
+    data = Data()
+    for i, s in enumerate(seqs):
+        data.columns[0].append("lib"); data.columns[1].append(f"f{i}")
+        data.columns[2].append(str(len(s))); data.columns[3].append(s)
+    k = 15
+    idx = build_index(data, Config(), k=k)
+    tables = E._device_tables(idx)
+    assert "mono_bucket" in tables
+    W = idx.bitset_words
+
+    B, L = 33, 60  # non-multiple of block sizes
+    codes = rng.integers(0, 5, size=(B, L)).astype(np.int8)
+    lens = rng.integers(k, L + 1, size=B).astype(np.int32)
+    hi, lo, valid = E.kmer_hi_lo(jnp.asarray(codes), jnp.asarray(lens), k)
+    c_hi, c_lo, fc, pal = E._canonical_keys(hi, lo, k)
+    from nimble_tpu.index.hashing import bucket_hashes_jnp
+    nb2 = tables["mono_bucket"].shape[0]
+    h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb2)
+    hi_i = E._bitcast_i32(c_hi); lo_i = E._bitcast_i32(c_lo)
+
+    ref_f, ref_r = E.mono_probe(hi_i, lo_i, h1, fc, pal, valid, tables, W)
+    S = tables["mono_bucket"].shape[1] // (2 + 2 * W)
+    rowT = jnp.transpose(tables["mono_bucket"][h1.astype(jnp.int32)], (2, 0, 1))
+    stash = jnp.concatenate(
+        [tables["mono_stash_hi"][:, None], tables["mono_stash_lo"][:, None],
+         tables["mono_stash_vs_bits"], tables["mono_stash_vd_bits"]], axis=1)
+    got_f, got_r = mono_select_pallas(
+        rowT, hi_i, lo_i, fc, pal, valid, stash, S, W, interpret=True, block_b=16
+    )
+    assert np.array_equal(np.asarray(got_f).transpose(1, 2, 0), np.asarray(ref_f))
+    assert np.array_equal(np.asarray(got_r).transpose(1, 2, 0), np.asarray(ref_r))
