@@ -77,14 +77,15 @@ class AlignParams:
 
 
 def _default_window_kernel() -> bool:
-    """Pallas window fusion is on for real TPU backends, off on CPU (where
-    tests run the jnp path; interpret-mode Pallas would be slower)."""
+    """Pallas window fusion is on only for TPU backends: the kernels use
+    pltpu/Mosaic-specific workarounds, so CPU tests run the jnp path and a
+    GPU backend must not take them either."""
     import os
 
     if os.environ.get("NIMBLE_TPU_NO_WINDOW_KERNEL", "") == "1":
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -466,8 +467,16 @@ def mono_probe(
     S = tables["mono_bucket"].shape[1] // (2 + 2 * W)
     row = tables["mono_bucket"][h1.astype(jnp.int32)]  # (B, P, S*entry)
     if use_kernel:
-        from nimble_tpu.align.kernels import mono_select_pallas
+        from nimble_tpu.align.kernels import (
+            mono_select_block_b,
+            mono_select_pallas,
+        )
 
+        # the kernel only runs when its block working set fits scoped VMEM;
+        # wide rows (stacked W_cat, long reads) fall back to the XLA select
+        if mono_select_block_b(S * (2 + 2 * W), P, W) < 8:
+            use_kernel = False
+    if use_kernel:
         stash = jnp.concatenate(
             [
                 tables["mono_stash_hi"][:, None],

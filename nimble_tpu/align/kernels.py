@@ -131,13 +131,28 @@ def _kmer_keys_body(k: int, n_buckets: int, codes_ref, lens_ref, c_hi_ref,
     valid_ref[:] = valid
 
 
+# Mosaic's stack allocation for a kmer_keys block measures ~35 live
+# (block_b, P) int32 planes at k=21 (hi/lo accumulators, rc words, hash
+# mixes, the 7 outputs and their copies); 48 planes of budget leaves
+# headroom for other k. Round-1 shipped a fixed block_b=512 that exceeded
+# the 16MB scoped-VMEM limit at the CLI's max_len=256 geometry (P=236).
+KMER_KEYS_VMEM_BUDGET = 12 << 20
+KMER_KEYS_PLANES = 48
+
+
+def kmer_keys_block_b(L: int, k: int) -> int:
+    P = L - k + 1
+    bb = KMER_KEYS_VMEM_BUDGET // (KMER_KEYS_PLANES * P * 4 + L)
+    return int(min(512, max(8, (bb // 8) * 8)))
+
+
 def kmer_keys_pallas(
     codes,
     lens,
     k: int,
     n_buckets: int,
     interpret: bool = False,
-    block_b: int = 512,
+    block_b: int = 0,
 ):
     """Fused Pallas window stage. codes (B, L) int8, lens (B,) int32 ->
     (c_hi, c_lo [int32 bitcast], h1, h2 [int32], fwd_canon, palindrome,
@@ -148,6 +163,8 @@ def kmer_keys_pallas(
     inside the ~16MB VMEM; B is padded up to a multiple of block_b."""
     B, L = codes.shape
     P = L - k + 1
+    if block_b <= 0:
+        block_b = kmer_keys_block_b(L, k)
     if B <= block_b:
         grid_b = 1
         block_b = B
@@ -227,12 +244,36 @@ def _mono_select_body(S: int, W: int, n_stash: int, rowT_ref, hi_ref, lo_ref,
         bits_r_ref[w] = r & m_v
 
 
+# scoped-VMEM budget for a mono_select block: the kernel's block working set
+# (double-buffered rowT input + key/mask planes + both W-plane outputs) must
+# stay under the hardware's ~16MB scoped VMEM with headroom for Mosaic's own
+# temporaries. Round-1 shipped a fixed block_b=512 that blew this budget
+# (24MB > 16MB) at the bench's W=4 geometry — block_b is now derived.
+MONO_SELECT_VMEM_BUDGET = 8 << 20
+
+
+def mono_select_block_b(RW: int, P: int, W: int) -> int:
+    """Largest multiple-of-8 block_b whose double-buffered working set
+    (RW rowT planes + 5 key/mask planes + 2W output planes, int32 each)
+    fits MONO_SELECT_VMEM_BUDGET. 0 = no feasible block (caller must use
+    the XLA select path)."""
+    per_row = (RW + 5 + 2 * W) * P * 4
+    bb = MONO_SELECT_VMEM_BUDGET // (2 * per_row)
+    return int(min(512, (bb // 8) * 8))
+
+
 def mono_select_pallas(rowT, hi_i, lo_i, fc, pal, valid, stash, S: int, W: int,
-                       interpret: bool = False, block_b: int = 512):
+                       interpret: bool = False, block_b: int = 0):
     """rowT (RW, B, P) transposed gathered bucket rows + (B, P) keys/masks +
     stash (n_stash, 2+2W) -> (bits_f, bits_r) each (W, B, P) int32."""
     RW, B, P = rowT.shape
     n_stash = stash.shape[0]
+    if block_b <= 0:
+        block_b = mono_select_block_b(RW, P, W)
+        if block_b <= 0:
+            raise ValueError(
+                f"mono_select block does not fit VMEM (RW={RW}, P={P}, W={W})"
+            )
     if B <= block_b:
         grid_b, block_b, pad = 1, B, 0
     else:
