@@ -140,9 +140,17 @@ KMER_KEYS_VMEM_BUDGET = 12 << 20
 KMER_KEYS_PLANES = 48
 
 
+def _lane_pad(n: int) -> int:
+    """VMEM vectors pad their minor dim to 128 lanes: a (b, P) int32 plane
+    occupies b * round_up(P, 128) * 4 bytes regardless of P. Block-size
+    models must budget the padded width (round-1's stride-2 OOM came from
+    modeling P=40 planes at 40 lanes when the hardware stores 128)."""
+    return -(-n // 128) * 128
+
+
 def kmer_keys_block_b(L: int, k: int) -> int:
-    P = L - k + 1
-    bb = KMER_KEYS_VMEM_BUDGET // (KMER_KEYS_PLANES * P * 4 + L)
+    P = _lane_pad(L - k + 1)
+    bb = KMER_KEYS_VMEM_BUDGET // (KMER_KEYS_PLANES * P * 4 + _lane_pad(L))
     return int(min(512, max(8, (bb // 8) * 8)))
 
 
@@ -257,7 +265,7 @@ def mono_select_block_b(RW: int, P: int, W: int) -> int:
     (RW rowT planes + 5 key/mask planes + 2W output planes, int32 each)
     fits MONO_SELECT_VMEM_BUDGET. 0 = no feasible block (caller must use
     the XLA select path)."""
-    per_row = (RW + 5 + 2 * W) * P * 4
+    per_row = (RW + 5 + 2 * W) * _lane_pad(P) * 4
     bb = MONO_SELECT_VMEM_BUDGET // (2 * per_row)
     return int(min(512, (bb // 8) * 8))
 

@@ -42,68 +42,52 @@ def parse_fasta(seq_path: str) -> Tuple[Data, Config]:
     return data, config
 
 
+def _resolve_sequence_cell(cell: str) -> Tuple[str, str]:
+    """A CSV `sequence` cell is either a literal sequence or a
+    `genbank://<term>[:<start-end>]` link resolved via NCBI Entrez
+    (requires network). Returns (nt_length, sequence) as strings."""
+    if "genbank://" in cell:
+        from nimble_tpu.remote import resolve_genbank
+
+        nt_length, sequence = resolve_genbank(cell)
+        return str(nt_length), sequence
+    return str(len(cell)), cell
+
+
 def parse_csv(csv_path: str, has_sequences: bool = True) -> Tuple[Data, Config]:
-    """CSV -> (Data, Config) (reference: parse.py:78-139).
+    """CSV -> (Data, Config) with schema-compatible output (reference
+    behavior: parse.py:78-139; clean-room columnar implementation).
 
-    Required columns: `name` (+ `sequence` when has_sequences). The sequence
-    cell may be a literal sequence or `genbank://<term>[:<start-end>]`, which
-    is resolved via NCBI Entrez (requires network; reference: remote.py).
-    Remaining columns are copied in order as metadata columns.
+    Required columns: `name` (+ `sequence` when has_sequences). Every other
+    column is carried through, in CSV order, as a metadata column — these
+    are the `group_on` targets (allele -> lineage etc.).
     """
-    data = Data()
-    config = Config()
+    with open(csv_path, newline="") as fh:
+        table = list(csv.reader(fh, delimiter=",", quotechar='"'))
+    header, body = table[0], table[1:]
 
-    reference_genome = get_library_name_from_filename(csv_path)
-    reference_genomes: List[str] = []
-    sequence_names: List[str] = []
-    nt_lengths: List[str] = []
+    name_col = header.index("name")
+    seq_col = header.index("sequence") if has_sequences else -1
+    meta_cols = [i for i in range(len(header)) if i not in (name_col, seq_col)]
+
+    lengths: List[str] = []
     sequences: List[str] = []
-    metadata: List[List[str]] = []
+    if has_sequences:
+        for resolved in (_resolve_sequence_cell(row[seq_col]) for row in body):
+            lengths.append(resolved[0])
+            sequences.append(trim_low_complexity_regions(resolved[1]))
 
-    with open(csv_path, newline="") as f:
-        reader = csv.reader(f, delimiter=",", quotechar='"')
-        headers = next(reader)
-
-        sequence_idx = headers.index("sequence") if has_sequences else None
-        names_idx = headers.index("name")
-
-        # Headers are copied to the output library, so drop name/sequence.
-        headers.pop(names_idx)
-        if has_sequences and names_idx < sequence_idx:
-            sequence_idx -= 1
-        if has_sequences:
-            headers.pop(sequence_idx)
-
-        for row in reader:
-            sequence_names.append(row.pop(names_idx))
-            reference_genomes.append(reference_genome)
-
-            if has_sequences:
-                raw_seq = row.pop(sequence_idx)
-                if "genbank://" in raw_seq:
-                    from nimble_tpu.remote import resolve_genbank
-
-                    nt_length, sequence = resolve_genbank(raw_seq)
-                    nt_lengths.append(str(nt_length))
-                    sequences.append(sequence)
-                else:
-                    sequences.append(raw_seq)
-                    nt_lengths.append(str(len(raw_seq)))
-
-            if len(metadata) == 0:
-                metadata = [[] for _ in range(len(headers))]
-            for i, col in enumerate(row):
-                metadata[i].append(col)
-
-    data.headers.extend(headers)
+    library_name = get_library_name_from_filename(csv_path)
+    data = Data()
+    data.headers.extend(header[i] for i in meta_cols)
     data.columns = [
-        reference_genomes,
-        sequence_names,
-        nt_lengths,
-        [trim_low_complexity_regions(s) for s in sequences],
+        [library_name] * len(body),
+        [row[name_col] for row in body],
+        lengths,
+        sequences,
     ]
-    data.columns.extend(metadata)
-    return data, config
+    data.columns.extend([row[i] for row in body] for i in meta_cols)
+    return data, Config()
 
 
 def _process_file(file: Optional[str], paired_file: Optional[str]):
@@ -124,29 +108,35 @@ def _process_file(file: Optional[str], paired_file: Optional[str]):
     return data, config, is_csv
 
 
-def collate_data(data: Data, metadata: Data) -> Data:
-    """Join FASTA sequences into CSV metadata rows by sequence_name
-    (reference: __main__.py:88-110); errors on records missing from either."""
-    name_idx = data.headers.index("sequence_name")
-    sequence_idx = data.headers.index("sequence")
-    nt_length_idx = data.headers.index("nt_length")
+def _column(d: Data, header: str) -> List[str]:
+    return d.columns[d.headers.index(header)]
 
-    meta_name_idx = metadata.headers.index("sequence_name")
-    meta_sequence_idx = metadata.headers.index("sequence")
-    meta_nt_length_idx = metadata.headers.index("nt_length")
 
-    n = len(data.columns[sequence_idx])
-    metadata.columns[meta_sequence_idx] = ["" for _ in range(n)]
-    metadata.columns[meta_nt_length_idx] = ["" for _ in range(n)]
+def collate_data(sequences: Data, metadata: Data) -> Data:
+    """Merge sequences parsed from a FASTA into the metadata table, joined
+    on sequence_name (reference behavior: __main__.py:88-110; clean-room
+    dict-join implementation). Every FASTA record must have a metadata row;
+    metadata rows with no FASTA record keep an empty sequence."""
+    seq_names = _column(sequences, "sequence_name")
+    seqs = _column(sequences, "sequence")
+    seq_lens = _column(sequences, "nt_length")
 
-    for from_idx, name in enumerate(data.columns[name_idx]):
-        if name not in metadata.columns[meta_name_idx]:
-            print(f"Error -- record {name} is not found in both input files.")
+    # first metadata row wins for a duplicated name, like list.index would
+    row_of: dict = {}
+    for i, nm in enumerate(_column(metadata, "sequence_name")):
+        row_of.setdefault(nm, i)
+
+    merged_seq = [""] * len(seqs)
+    merged_len = [""] * len(seqs)
+    for src, nm in enumerate(seq_names):
+        if nm not in row_of:
+            print(f"generate: record {nm!r} is missing from the metadata CSV")
             sys.exit(1)
-        update_idx = metadata.columns[meta_name_idx].index(name)
-        metadata.columns[meta_sequence_idx][update_idx] = data.columns[sequence_idx][from_idx]
-        metadata.columns[meta_nt_length_idx][update_idx] = data.columns[nt_length_idx][from_idx]
+        merged_seq[row_of[nm]] = seqs[src]
+        merged_len[row_of[nm]] = seq_lens[src]
 
+    metadata.columns[metadata.headers.index("sequence")] = merged_seq
+    metadata.columns[metadata.headers.index("nt_length")] = merged_len
     return metadata
 
 

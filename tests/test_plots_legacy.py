@@ -55,8 +55,8 @@ class TestPlots:
         out = str(tmp_path / "report.html")
         plot_command(tsv, out)
         html = open(out).read()
-        assert "Summary of UMI/Cell distributions" in html
-        assert "Report for Threshold 0.05" in html
+        assert "Dataset QC" in html
+        assert "Threshold simulation &mdash; t = 0.05" in html or "t = 0.05" in html
         assert "Report for Feature A" in html
         assert "Report for Feature B" in html
         assert "A,B" not in html.split("Report for Feature")[0] or True

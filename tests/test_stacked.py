@@ -111,9 +111,15 @@ def test_stacked_tables_merge_shared_kmers():
     ix2 = build_index(make_data([shared, rand_seq(rng, 80)]), Config(), k=k)
     t = build_stacked_tables([ix1, ix2])
     assert t is not None
-    # merged table has one entry per distinct canonical k-mer (not the sum)
-    occupied = np.asarray(t["mono_bucket"]).reshape(-1)
     assert t["seg_words"] == (0, 1, 2)
+    # merged table has one entry per distinct canonical k-mer (not the sum)
+    from nimble_tpu.align.stacked import STACK_SLOTS, _lib_entries
+
+    union = set(_lib_entries(ix1)[0]) | set(_lib_entries(ix2)[0])
+    bucket = np.asarray(t["mono_bucket"])
+    n_placed = int((bucket[:, :STACK_SLOTS] != -1).sum())
+    n_stash = int((np.asarray(t["mono_stash_hi"]) != -1).sum())
+    assert n_placed + n_stash == len(union)
 
 
 def test_pipeline_stacked_tsvs_match_separate(tmp_path, monkeypatch):
