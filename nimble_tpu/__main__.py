@@ -61,7 +61,10 @@ def main(argv=None) -> int:
 
     index_parser = subparsers.add_parser("index", help="Prebuild and persist a device index (.npz)")
     index_parser.add_argument("--reference", type=str, required=True)
-    index_parser.add_argument("--output", type=str, required=True)
+    index_parser.add_argument(
+        "--output", type=str, default=None,
+        help="Output .npz (default: the <reference>.idx.npz sidecar that `align` auto-loads)",
+    )
     index_parser.add_argument("--kmer-length", type=int, default=None)
 
     args = parser.parse_args(argv)
@@ -113,14 +116,20 @@ def main(argv=None) -> int:
         return 0
     if args.subcommand == "index":
         from nimble_tpu.config import load_library
-        from nimble_tpu.index.builder import build_index
+        from nimble_tpu.index.builder import (
+            build_index,
+            index_cache_key,
+            index_cache_path,
+        )
 
         config, data = load_library(args.reference)
         idx = build_index(data, config, k=args.kmer_length)
-        idx.save(args.output)
+        out = args.output or index_cache_path(args.reference)
+        # stamp the content-hash key so `align` trusts and reuses the file
+        idx.save(out, cache_key=index_cache_key(args.reference, args.kmer_length))
         print(
             f"Indexed {idx.n_kmers} k-mers, {idx.n_features} features, "
-            f"{idx.n_classes} classes -> {args.output}"
+            f"{idx.n_classes} classes -> {out}"
         )
         return 0
 

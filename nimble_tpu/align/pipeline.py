@@ -21,7 +21,7 @@ import numpy as np
 
 from nimble_tpu.align.engine import AlignEngine
 from nimble_tpu.config import Config, load_library
-from nimble_tpu.index.builder import KmerIndex, build_index
+from nimble_tpu.index.builder import KmerIndex, build_index_for_library
 
 TSV_HEADER = [
     "nimble_features",
@@ -192,7 +192,7 @@ def make_runner(
     kmer_length: Optional[int] = None,
 ) -> LibraryRunner:
     config, data = load_library(library_path)
-    index = build_index(data, config, k=kmer_length)
+    index = build_index_for_library(library_path, data, config, k=kmer_length)
     engine = AlignEngine(
         index,
         config,

@@ -74,6 +74,22 @@ class KmerIndex:
     feature_to_group: np.ndarray  # int32 (n_features,)
     group_bits_words: int  # bitset words for group space
     n_kmers: int
+    # pair entries for the pair-probe engine path: one entry per distinct
+    # CANONICAL (k+1)-mer occurring in the library. Each carries the class
+    # ids of its two constituent k-mers ("a" = first k-window, "b" = second)
+    # for the canonical orientation (vsa, vsb) and its reverse complement
+    # (vda, vdb), looked up in the k-mer index above — so ONE row gather
+    # answers TWO read windows exactly (see align/engine.lookup_pair_bits).
+    pair_hi: Optional[np.ndarray] = None  # uint32 canonical (k+1)-code high
+    pair_lo: Optional[np.ndarray] = None  # uint32 low words
+    pair_vsa: Optional[np.ndarray] = None  # int32 class ids, -1 = absent
+    pair_vsb: Optional[np.ndarray] = None
+    pair_vda: Optional[np.ndarray] = None
+    pair_vdb: Optional[np.ndarray] = None
+
+    @property
+    def has_pairs(self) -> bool:
+        return self.pair_hi is not None and self.pair_hi.size > 0
 
     @property
     def n_features(self) -> int:
@@ -138,9 +154,21 @@ class KmerIndex:
         )
         return np.where(same, vs, vd)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, cache_key: str = "") -> None:
+        pairs = {}
+        if self.has_pairs:
+            pairs = {
+                "pair_hi": self.pair_hi,
+                "pair_lo": self.pair_lo,
+                "pair_vsa": self.pair_vsa,
+                "pair_vsb": self.pair_vsb,
+                "pair_vda": self.pair_vda,
+                "pair_vdb": self.pair_vdb,
+            }
         np.savez_compressed(
             path,
+            cache_key=np.array(cache_key),
+            **pairs,
             k=self.k,
             n_buckets=self.n_buckets,
             table_hi=self.table_hi,
@@ -164,7 +192,13 @@ class KmerIndex:
     @classmethod
     def load(cls, path: str) -> "KmerIndex":
         z = np.load(path, allow_pickle=True)
+        pairs = {}
+        if "pair_hi" in z.files:
+            pairs = {f: z[f] for f in (
+                "pair_hi", "pair_lo", "pair_vsa", "pair_vsb", "pair_vda", "pair_vdb"
+            )}
         return cls(
+            **pairs,
             k=int(z["k"]),
             n_buckets=int(z["n_buckets"]),
             table_hi=z["table_hi"],
@@ -184,6 +218,64 @@ class KmerIndex:
             group_bits_words=int(z["group_bits_words"]),
             n_kmers=int(z["n_kmers"]),
         )
+
+
+# bump to invalidate persisted .idx.npz caches when the index layout changes
+INDEX_FORMAT_VERSION = 2
+
+
+def index_cache_path(library_path: str) -> str:
+    return library_path + ".idx.npz"
+
+
+def index_cache_key(library_path: str, k: Optional[int]) -> str:
+    """Cache key for a persisted index: format version + explicit-k override
+    + content hash of the library JSON (which embeds the Config, so
+    kmer_length/num_mismatches/group_on changes invalidate it)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(library_path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return f"v{INDEX_FORMAT_VERSION}:k={int(k or 0)}:{h.hexdigest()[:24]}"
+
+
+def build_index_for_library(
+    library_path: str,
+    data: Data,
+    config: Optional[Config] = None,
+    k: Optional[int] = None,
+    cache: Optional[bool] = None,
+):
+    """Build the device index for a library file, transparently reusing the
+    persisted `<library>.idx.npz` sidecar when its cache key matches (the
+    reference rebuilds its dBG index at every alignment startup — SURVEY
+    §2.4; a 20k-allele library costs minutes to index, so `align` must not).
+    Set cache=False or NIMBLE_TPU_NO_INDEX_CACHE=1 to force a rebuild."""
+    import os
+
+    if cache is None:
+        cache = os.environ.get("NIMBLE_TPU_NO_INDEX_CACHE", "") != "1"
+    key = None
+    cache_path = index_cache_path(library_path)
+    if cache:
+        try:
+            key = index_cache_key(library_path, k)
+            if os.path.exists(cache_path):
+                with np.load(cache_path, allow_pickle=True) as z:
+                    fresh = "cache_key" in z.files and str(z["cache_key"]) == key
+                if fresh:
+                    return KmerIndex.load(cache_path)
+        except (OSError, ValueError, KeyError):
+            key = None  # unreadable library/cache: build, don't persist
+    index = build_index(data, config, k=k)
+    if cache and key is not None:
+        try:
+            index.save(cache_path, cache_key=key)
+        except OSError:
+            pass  # read-only library dir: caching is best-effort
+    return index
 
 
 def _collect_kmer_feature_pairs(

@@ -245,3 +245,45 @@ def test_native_builder_empty_library():
         pytest.skip("native library unavailable")
     nat = idx_native.build_index_native(make_data([]), Config(), k=11)
     assert nat.n_kmers == 0 and nat.n_classes == 0
+
+
+def test_build_index_for_library_cache(tmp_path, monkeypatch):
+    """`align` must reuse the persisted .idx.npz sidecar (the reference
+    rebuilds its index at every startup — SURVEY §2.4; we must not)."""
+    from nimble_tpu.config import save_library
+    from nimble_tpu.index import builder as B
+
+    rng = np.random.default_rng(7)
+    data = make_data([rand_seq(rng, 300), rand_seq(rng, 300)])
+    lib = str(tmp_path / "lib.json")
+    save_library(lib, Config(), data)
+
+    monkeypatch.delenv("NIMBLE_TPU_NO_INDEX_CACHE", raising=False)
+    idx1 = B.build_index_for_library(lib, data, Config(), k=15)
+    sidecar = B.index_cache_path(lib)
+    assert sidecar.endswith(".idx.npz") and __import__("os").path.exists(sidecar)
+
+    # second call must LOAD, not rebuild: poison build_index to prove it
+    monkeypatch.setattr(B, "build_index", lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    idx2 = B.build_index_for_library(lib, data, Config(), k=15)
+    assert idx2.n_kmers == idx1.n_kmers and idx2.n_buckets == idx1.n_buckets
+    np.testing.assert_array_equal(idx2.table_hi, idx1.table_hi)
+    assert list(idx2.feature_names) == list(idx1.feature_names)
+    monkeypatch.undo()
+
+    # a different k must miss the cache (key embeds the explicit k)
+    idx3 = B.build_index_for_library(lib, data, Config(), k=17)
+    assert idx3.k == 17
+
+    # editing the library invalidates the key -> rebuild with new content
+    data2 = make_data([rand_seq(rng, 300), rand_seq(rng, 300), rand_seq(rng, 300)])
+    save_library(lib, Config(), data2)
+    idx4 = B.build_index_for_library(lib, data2, Config(), k=15)
+    assert idx4.n_features == 3
+
+    # kill switch bypasses both load and store
+    monkeypatch.setenv("NIMBLE_TPU_NO_INDEX_CACHE", "1")
+    import os as _os
+    _os.remove(sidecar)
+    B.build_index_for_library(lib, data2, Config(), k=15)
+    assert not _os.path.exists(sidecar)
