@@ -56,6 +56,9 @@ class AlignParams:
     require_valid_pair: bool
     strand_filter: str  # "unstranded" | "fiveprime" | "threeprime"
     stride: int = 1  # probe every stride-th window (1 = every position)
+    # group-probe mode: one (k+g-1)-mer row gather answers g windows
+    # (0 = disabled; set by AlignEngine when the index carries group entries)
+    group_g: int = 0
     # fuse the window stage (pack+revcomp+canonical+hash) into one Pallas
     # kernel; it is ~80% of chunk time on the XLA elementwise path
     window_kernel: bool = False
@@ -106,8 +109,12 @@ MONO_MAX_BYTES = 2 << 30
 MONO_MAX_STASH = 64
 MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 
+# group-probe rows are S*(2 + 2*g*W) int32; cap W so the row stays in the
+# width regime where gather cost is still per-row (g=2, W=8 -> 272 bytes)
+GROUP_MAX_WORDS = 8
 
-def _device_tables(index: KmerIndex, inline_ok: bool = True):
+
+def _device_tables(index: KmerIndex, inline_ok: bool = True, group_ok: bool = True):
     """Index tensors as a pytree of jnp arrays.
 
     The hash table ships as ONE interleaved (n_buckets, row_width) int32
@@ -158,11 +165,146 @@ def _device_tables(index: KmerIndex, inline_ok: bool = True):
         tables["stash_vs_bits"] = jnp.asarray(bits_of(index.stash_vsame))
         tables["stash_vd_bits"] = jnp.asarray(bits_of(index.stash_vdiff))
     tables["bucket"] = jnp.asarray(packed)
-    if inline:
+    group = None
+    if inline and group_ok and index.has_pairs and W <= GROUP_MAX_WORDS:
+        group = _build_group_tables(index, bits_of)
+    if group is not None:
+        # the group probe fully replaces the mono probe (the tail probe also
+        # hits the group table), so skip building mono tables
+        tables.update(group)
+    elif inline:
         mono = _build_mono_tables(index, bits_of)
         if mono is not None:
             tables.update(mono)
     return tables
+
+
+def _build_group_tables(index: KmerIndex, bits_of):
+    """Group-probe table: single-hash buckets over the index's canonical
+    (k+g-1)-mer entries (index.pair_*), with the g windows' class bitsets
+    PRE-ANDed at build time — the device intersection only ever ANDs them,
+    so one (W,)-word plane per orientation carries the whole group's
+    contribution exactly, keeping the row width CONSTANT in g:
+
+      [hi x S | lo x S | vs_and (W,S) | vd_and (W,S) | mask x S]
+
+    vs_and/vd_and = AND of the present windows' bitsets for the canonical
+    code / its reverse complement (identity when none), and mask packs four
+    g-bit per-window presence fields (g <= 8):
+      bits 0..g-1   vs_mask   (canonical code's window i present)
+      bits 8..      vd_mask
+      bits 16..     vs_mask reversed within g  (for the rev orientation's
+      bits 24..     vd_mask reversed            forward-coordinate windows)
+    Empty slots carry the impossible key hi = 0xFFFFFFFF. Returns None when
+    placement blows the memory/stash budget (caller falls back to mono)."""
+    g = index.pair_g
+    W = index.bitset_words
+    hi = index.pair_hi
+    lo = index.pair_lo
+    vals = index.pair_vals
+    n = hi.shape[0]
+    if n == 0 or g > 8:
+        return None
+    entry = 2 + 2 * W + 1
+    placement = _single_hash_placement(hi, lo, entry, MONO_SLOTS)
+    if placement is None:
+        return None
+    nb2, b, s, keys, skeys = placement
+
+    def and_mask(cols):  # cols: (n, g) class ids -> (and_bits (n,W), mask (n,))
+        acc = np.full((n, W), -1, dtype=np.int32)
+        mask = np.zeros(n, dtype=np.int32)
+        for i in range(cols.shape[1]):
+            present = cols[:, i] >= 0
+            cbits = bits_of(cols[:, i])
+            acc[present] &= cbits[present]
+            mask |= present.astype(np.int32) << i
+        return acc, mask
+
+    vs_and, vs_mask = and_mask(vals[:, :g])
+    vd_and, vd_mask = and_mask(vals[:, g:])
+    rev = lambda m: sum(((m >> i) & 1) << (g - 1 - i) for i in range(g))
+    mask_word = vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
+
+    S = MONO_SLOTS
+    table = np.zeros((nb2, S * entry), dtype=np.int32)
+    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+    table[b, s] = hi[keys].view(np.int32)
+    table[b, S + s] = lo[keys].view(np.int32)
+    for w in range(W):
+        table[b, 2 * S + w * S + s] = vs_and[keys, w]
+        table[b, 2 * S + W * S + w * S + s] = vd_and[keys, w]
+    table[b, 2 * S + 2 * W * S + s] = mask_word[keys]
+
+    n_stash = skeys.shape[0]
+    pad = max(1, n_stash)
+    gs = {
+        "hi": np.full(pad, -1, dtype=np.int32),  # padding can never match
+        "lo": np.zeros(pad, dtype=np.int32),
+        "vs_and": np.zeros((pad, W), dtype=np.int32),
+        "vd_and": np.zeros((pad, W), dtype=np.int32),
+        "mask": np.zeros(pad, dtype=np.int32),
+    }
+    if n_stash:
+        gs["hi"][:n_stash] = hi[skeys].view(np.int32)
+        gs["lo"][:n_stash] = lo[skeys].view(np.int32)
+        gs["vs_and"][:n_stash] = vs_and[skeys]
+        gs["vd_and"][:n_stash] = vd_and[skeys]
+        gs["mask"][:n_stash] = mask_word[skeys]
+    return {
+        "group_bucket": jnp.asarray(table),
+        "group_stash_hi": jnp.asarray(gs["hi"]),
+        "group_stash_lo": jnp.asarray(gs["lo"]),
+        "group_stash_vs_and": jnp.asarray(gs["vs_and"]),
+        "group_stash_vd_and": jnp.asarray(gs["vd_and"]),
+        "group_stash_mask": jnp.asarray(gs["mask"]),
+    }
+
+
+def _single_hash_placement(hi: np.ndarray, lo: np.ndarray, entry_words: int, slots: int):
+    """Grow-until-tight single-hash placement shared by the mono and group
+    table layouts: reinsert all keys by h1 into next_pow2(n)*2^extra buckets
+    of `slots` slots, growing the table until the overflow stash is tiny —
+    every stash entry costs a full (B, P, W) vector sweep per probe, which
+    dwarfs the memory cost of more buckets (measured: a ~34-entry stash
+    added ~7ms per chunk on a stacked table).
+
+    Returns None (placement infeasible under MONO_MAX_BYTES/MONO_MAX_STASH)
+    or (nb2, bucket_ids, slot_ids, placed_keys, stash_keys): key indices and
+    their bucket/slot assignments."""
+    from nimble_tpu.index.hashing import bucket_hashes_np
+
+    n = hi.shape[0]
+    best = None  # (stash_size, nb2, h_sorted, order, placed)
+    for extra in (1, 2, 3, 4, 5, 6):
+        nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + extra)
+        if nb2 * slots * entry_words * 4 > MONO_MAX_BYTES:
+            break
+        h, _ = bucket_hashes_np(hi, lo, nb2)
+        order = np.argsort(h, kind="stable")
+        h_sorted = h[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = h_sorted[1:] != h_sorted[:-1]
+        start = np.flatnonzero(boundary)
+        group = np.cumsum(boundary) - 1
+        rank = np.arange(n) - start[group]
+        placed = rank < slots
+        n_over = int((~placed).sum())
+        if best is None or n_over < best[0]:
+            best = (n_over, nb2, h_sorted, order, rank, placed)
+        if n_over <= MONO_TIGHT_STASH:
+            break
+    if best is None or best[0] > MONO_MAX_STASH:
+        return None
+    _, nb2, h_sorted, order, rank, placed = best
+    return (
+        nb2,
+        h_sorted[placed].astype(np.int64),
+        rank[placed].astype(np.int64),
+        order[placed],
+        order[~placed],
+    )
 
 
 def _build_mono_tables(index: KmerIndex, bits_of):
@@ -171,8 +313,6 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     Entry layout per slot: [hi, lo, vs_bits(W), vd_bits(W)]; a bucket row is
     MONO_SLOTS entries -> ONE contiguous row gather answers a whole probe.
     Returns None (caller keeps two-choice) when memory or stash would blow."""
-    from nimble_tpu.index.hashing import bucket_hashes_np
-
     W = index.bitset_words
     occ = (index.table_vsame >= 0) | (index.table_vdiff >= 0)
     his = [index.table_hi[occ]]
@@ -192,34 +332,10 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     if n == 0:
         return None
     entry = 2 + 2 * W
-    # grow the table until the overflow stash is tiny: every stash entry
-    # costs a full (B, P, W) vector sweep per probe, which dwarfs the
-    # memory cost of more buckets (measured: a ~34-entry stash added ~7ms
-    # per chunk on a stacked table)
-    placed = None
-    best = None  # (stash_size, nb2, h_sorted, order, placed)
-    for extra in (1, 2, 3, 4, 5, 6):
-        nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + extra)
-        if nb2 * MONO_SLOTS * entry * 4 > MONO_MAX_BYTES:
-            break
-        h, _ = bucket_hashes_np(hi, lo, nb2)
-        order = np.argsort(h, kind="stable")
-        h_sorted = h[order]
-        boundary = np.empty(n, dtype=bool)
-        boundary[0] = True
-        boundary[1:] = h_sorted[1:] != h_sorted[:-1]
-        start = np.flatnonzero(boundary)
-        group = np.cumsum(boundary) - 1
-        rank = np.arange(n) - start[group]
-        placed = rank < MONO_SLOTS
-        n_over = int((~placed).sum())
-        if best is None or n_over < best[0]:
-            best = (n_over, nb2, h_sorted, order, placed)
-        if n_over <= MONO_TIGHT_STASH:
-            break
-    if best is None or best[0] > MONO_MAX_STASH:
+    placement = _single_hash_placement(hi, lo, entry, MONO_SLOTS)
+    if placement is None:
         return None
-    _, nb2, h_sorted, order, placed = best
+    nb2, b, s, keys, skeys = placement
 
     vs_bits = bits_of(vs)
     vd_bits = bits_of(vd)
@@ -230,18 +346,14 @@ def _build_mono_tables(index: KmerIndex, bits_of):
     S = MONO_SLOTS
     table = np.zeros((nb2, S * entry), dtype=np.int32)
     table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
-    keys = order[placed]
-    b = h_sorted[placed].astype(np.int64)
-    s = rank[placed].astype(np.int64)
     table[b, s] = hi[keys].view(np.int32)
     table[b, S + s] = lo[keys].view(np.int32)
     for w in range(W):
         table[b, 2 * S + w * S + s] = vs_bits[keys, w]
         table[b, 2 * S + W * S + w * S + s] = vd_bits[keys, w]
 
-    n_stash = int((~placed).sum())
+    n_stash = skeys.shape[0]
     pad = max(1, n_stash)
-    skeys = order[~placed]
     ms_hi = np.zeros(pad, dtype=np.int32)
     ms_lo = np.zeros(pad, dtype=np.int32)
     ms_vsb = np.zeros((pad, W), dtype=np.int32)
@@ -519,6 +631,124 @@ def mono_probe(
     return jnp.where(v, bits_f, 0), jnp.where(v, bits_r, 0)
 
 
+def group_probe(hi_i, lo_i, h1, fwd_c, valid, tables, W: int, g: int):
+    """Group-table probe from precomputed canonical (k+g-1)-mer keys: ONE
+    row gather per probe position answers g read windows in both
+    orientations. Returns (and_f, mask_f, and_r, mask_r): the pre-ANDed
+    feature bitset of the probe's matched windows, (B, Q, W) int32, and the
+    g-bit per-window presence mask, (B, Q) int32, for the read's forward /
+    reverse orientation (mask bit i = window at probe position + i matched;
+    masks are in forward coordinates for both orientations).
+
+    Orientation algebra: for canonical code X carrying (vs_and, vs_mask)
+    over X's windows and (vd_and, vd_mask) over revcomp(X)'s: a read group
+    F == X takes fwd from vs and rev from vd with the mask bit-reversed
+    within g (window i's reverse complement is revcomp(X)'s window g-1-i);
+    F == revcomp(X) swaps the roles. Palindromic groups (possible when
+    k+g-1 is even) need no special case: vs == vd there."""
+    B, Q = hi_i.shape
+    S = tables["group_bucket"].shape[1] // (2 + 2 * W + 1)
+    row = tables["group_bucket"][h1.astype(jnp.int32)]  # (B, Q, S*entry)
+    bk_hi = row[..., 0:S]
+    bk_lo = row[..., S : 2 * S]
+    # empty slots hold the impossible key hi = -1: no occupancy check needed
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None])
+    sel = match[:, :, None, :]  # (B, Q, 1, S)
+    vs_and = row[..., 2 * S : 2 * S + W * S].reshape(B, Q, W, S)
+    vd_and = row[..., 2 * S + W * S : 2 * S + 2 * W * S].reshape(B, Q, W, S)
+    # at most one slot matches (keys unique): sum-select it
+    vs_and = jnp.where(sel, vs_and, 0).sum(axis=3)  # (B, Q, W)
+    vd_and = jnp.where(sel, vd_and, 0).sum(axis=3)
+    mword = jnp.where(match, row[..., 2 * S + 2 * W * S :], 0).sum(axis=2)  # (B, Q)
+    n_stash = tables["group_stash_hi"].shape[0]
+    for s in range(n_stash):
+        m = (tables["group_stash_hi"][s] == hi_i) & (
+            tables["group_stash_lo"][s] == lo_i
+        )
+        vs_and = vs_and | jnp.where(m[..., None], tables["group_stash_vs_and"][s], 0)
+        vd_and = vd_and | jnp.where(m[..., None], tables["group_stash_vd_and"][s], 0)
+        mword = mword | jnp.where(m, tables["group_stash_mask"][s], 0)
+
+    gmask = jnp.int32((1 << g) - 1)
+    fc = fwd_c[..., None]
+    and_f = jnp.where(fc, vs_and, vd_and)
+    and_r = jnp.where(fc, vd_and, vs_and)
+    mask_f = jnp.where(fwd_c, mword, mword >> 8) & gmask
+    mask_r = jnp.where(fwd_c, mword >> 24, mword >> 16) & gmask
+    mask_f = jnp.where(valid, mask_f, 0)
+    mask_r = jnp.where(valid, mask_r, 0)
+    return and_f, mask_f, and_r, mask_r
+
+
+def _score_mate_group(codes, lens, tables, p: "AlignParams"):
+    """Group-probe scoring path: probe canonical (k+g-1)-mers on a stride-g
+    grid (each answering g consecutive windows) plus ONE per-read tail probe
+    at j* = len-(k+g-1) covering the read's last g windows — so every window
+    a full-window mono probe would answer from library-resident groups is
+    answered, and clean reads score bit-identically to the mono path.
+    Divergences (all conservative, toward fewer matches): windows whose
+    containing (k+g-1)-mer is broken by a read error/N lose up to g-1
+    neighbor windows vs mono; reads shorter than k+g-1 bases are unmapped."""
+    g = p.group_g
+    kg = p.k + g - 1
+    B, L = codes.shape
+    P = L - p.k + 1  # k-windows
+    PP = L - kg + 1  # group positions
+    nb = tables["group_bucket"].shape[0]
+    if p.window_kernel:
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        hi_i, lo_i, h1, _h2, fwd_c, _palin, valid = kmer_keys_pallas(
+            codes, lens, kg, nb
+        )
+    else:
+        hi, lo, valid = kmer_hi_lo(codes, lens, kg)
+        c_hi, c_lo, fwd_c, _palin = _canonical_keys(hi, lo, kg)
+        h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb)
+        hi_i, lo_i = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
+
+    # grid probes at 0, g, 2g, ... plus ONE per-read tail probe at the
+    # data-dependent position j* = len-kg, appended as an extra column.
+    # The tail operands are extracted with a one-hot masked sum, NOT
+    # take_along_axis: B-element gathers cost ~6ms/chunk on this hardware
+    # while the (B, PP) compare+reduce is microseconds of VPU work.
+    jstar = jnp.clip(lens - kg, 0, PP - 1)
+    onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
+
+    cat = []
+    for a in (hi_i, lo_i, h1, fwd_c, valid):
+        t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(axis=1, keepdims=True)
+        cat.append(jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1))
+    W = tables["class_bits"].shape[1]
+    and_f, mask_f, and_r, mask_r = group_probe(*cat, tables, W, g)
+    Q = cat[0].shape[1] - 1
+
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+
+    def win_matched(mask):
+        # per-window matched bools in window coordinates: unpack the g-bit
+        # probe masks (probe q answers windows g*q .. g*q+g-1), then OR in
+        # the tail probe's windows at jstar + i via one-hot compares
+        planes = [((mask[:, :Q] >> i) & 1).astype(bool) for i in range(g)]
+        m = jnp.stack(planes, axis=2).reshape(B, Q * g)
+        if Q * g < P:
+            m = jnp.pad(m, ((0, 0), (0, P - Q * g)))
+        tmask = mask[:, Q]
+        for i in range(g):
+            tm = ((tmask >> i) & 1).astype(bool)  # (B,)
+            m = m | ((pos == (jstar + i)[:, None]) & tm[:, None])
+        return m
+
+    score_f = coverage_score(win_matched(mask_f), lens, p.k, L, 1)
+    score_r = coverage_score(win_matched(mask_r), lens, p.k, L, 1)
+    # the AND-intersection is order-independent and each probe's windows are
+    # pre-ANDed: feed the (B, Q+1, W) probe planes directly (grid + tail,
+    # duplicated windows idempotent), gated on the probe's presence mask
+    return _select_orientation(
+        and_f, and_r, mask_f != 0, mask_r != 0, score_f, score_r, p
+    )
+
+
 def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stride: int = 1):
     """Number of bases covered by >= 1 matched k-mer window ("score in bp").
 
@@ -617,6 +847,9 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     forward-coordinate position p, the class matched by the reverse
     complement's corresponding window; coverage and intersection are
     invariant under the coordinate reflection)."""
+    if p.group_g >= 2 and "group_bucket" in tables:
+        return _score_mate_group(codes, lens, tables, p)
+
     inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
     mono = inline and "mono_bucket" in tables
 
@@ -771,6 +1004,7 @@ class AlignEngine:
         max_len: int = 256,
         paired: bool = False,
         mesh=None,
+        group_probe: Optional[bool] = None,
     ):
         self.index = index
         self.config = config
@@ -785,6 +1019,22 @@ class AlignEngine:
         self.paired = paired
         self.mesh = mesh
 
+        # group-probe mode: one (k+g-1)-mer gather answers g windows —
+        # available when the index carries group entries, the feature space
+        # is narrow enough to inline 2g bitset planes per slot, and reads
+        # are probed at stride 1 (the group grid subsumes striding)
+        import os as _os
+
+        group_ok = (
+            index.has_pairs
+            and index.bitset_words <= GROUP_MAX_WORDS
+            and self.params.stride == 1
+            and self.max_len >= index.k + index.pair_g - 1
+            and _os.environ.get("NIMBLE_TPU_NO_GROUP_PROBE", "") != "1"
+        )
+        if group_probe is not None:
+            group_ok = group_ok and group_probe
+
         if mesh is not None:
             from nimble_tpu.parallel.mesh import shard_tables
 
@@ -793,15 +1043,24 @@ class AlignEngine:
             # class table when that axis is split
             chunk_size = -(-chunk_size // mesh.n_data) * mesh.n_data
             self.tables = shard_tables(
-                _device_tables(index, inline_ok=(mesh.n_feature == 1)), mesh
+                _device_tables(
+                    index,
+                    inline_ok=(mesh.n_feature == 1),
+                    group_ok=group_ok and mesh.n_feature == 1,
+                ),
+                mesh,
             )
             in_shardings = [mesh.batch_sharded, mesh.data_sharded]
             if paired:
                 in_shardings += [mesh.batch_sharded, mesh.data_sharded]
             jit_kwargs = dict(in_shardings=tuple([None] + in_shardings))
         else:
-            self.tables = _device_tables(index)
+            self.tables = _device_tables(index, group_ok=group_ok)
             jit_kwargs = {}
+        if "group_bucket" in self.tables:
+            import dataclasses as _dc
+
+            self.params = _dc.replace(self.params, group_g=index.pair_g)
         self.chunk_size = chunk_size
 
         p = self.params

@@ -101,6 +101,24 @@ def resolve_features(
     return features, u_keep[inverse]
 
 
+def trimmed_lens(lens: np.ndarray, trim: Tuple[int, float]) -> np.ndarray:
+    """Read trimming [inferred semantics]: the reference exposes
+    trim_target_length/trim_strictness in the library Config plus a --trim
+    "<TARGET>:<STRICTNESS>" override (reference: nimble/types.py:24-25,
+    __main__.py:191-192,400); the backend's exact rule is not recoverable
+    from the frontend. The rule implemented here: strictness is how strictly
+    the target length is enforced — a read's 3' overhang beyond the target
+    is cut by round(strictness * overhang) bases, so strictness 1.0 is a
+    hard cap at target_length, 0.0 disables trimming, and intermediate
+    values trim proportionally."""
+    target, strictness = trim
+    if target <= 0 or strictness <= 0:
+        return lens
+    overhang = np.maximum(lens - target, 0)
+    cut = np.rint(strictness * overhang).astype(lens.dtype)
+    return lens - cut
+
+
 @dataclass
 class LibraryRunner:
     """One library's engine + emission state + output file."""
@@ -110,7 +128,7 @@ class LibraryRunner:
     engine: AlignEngine
     emit: EmitConfig
     output_path: str
-    trim_target: int = 0  # 0 = no trimming
+    trim: Tuple[int, float] = (0, 0.0)  # (target_length, strictness); (0, _) = off
     _file: object = None
     rows_written: int = 0
 
@@ -127,16 +145,10 @@ class LibraryRunner:
         """Dispatch one batch to the device without waiting; returns a
         handle for finalize_batch. Host emission of batch N overlaps the
         device aligning batch N+1 (JAX async dispatch)."""
-        r1_lens = batch["r1_lens"]
+        r1_lens = trimmed_lens(batch["r1_lens"], self.trim)
         r2_lens = batch.get("r2_lens")
-        if self.trim_target > 0:
-            # read trimming [inferred semantics]: cap the aligned portion of
-            # each read at trim_target_length bases (reference exposes
-            # trim_target_length/trim_strictness + --trim; the backend's
-            # exact trimming rule is not specified by the frontend)
-            r1_lens = np.minimum(r1_lens, self.trim_target)
-            if r2_lens is not None:
-                r2_lens = np.minimum(r2_lens, self.trim_target)
+        if r2_lens is not None:
+            r2_lens = trimmed_lens(r2_lens, self.trim)
         out = self.engine.align_batch_async(
             batch["r1_codes"],
             r1_lens,
@@ -254,14 +266,18 @@ def align_files(
     paired = (len(inputs) == 2) or is_bam
 
     # per-library trim overrides: "<TARGET_LENGTH>:<STRICTNESS>,..." in
-    # library order (reference: __main__.py:191-192,400)
+    # library order (reference: __main__.py:191-192,400). A missing
+    # strictness means a hard cap (strictness 1.0); without --trim, each
+    # library's own Config trim settings apply when the user edited them
+    # (Config.trim_spec; rule: pipeline.trimmed_lens).
     trim_targets = {}
     if trim:
         for i, entry in enumerate(trim.split(",")):
             if not entry:
                 continue
-            target = entry.split(":")[0]
-            trim_targets[i] = int(target)
+            parts = entry.split(":")
+            strictness = float(parts[1]) if len(parts) > 1 and parts[1] else 1.0
+            trim_targets[i] = (int(parts[0]), strictness)
 
     runners: List[LibraryRunner] = []
     with log.stage("index_build", libraries=library_list):
@@ -278,7 +294,9 @@ def align_files(
                 max_len=max_len,
             )
             if lib_idx in trim_targets:
-                runner.trim_target = trim_targets[lib_idx]
+                runner.trim = trim_targets[lib_idx]
+            elif runner.config.trim_spec() is not None:
+                runner.trim = runner.config.trim_spec()
             runners.append(runner)
 
     # stacked multi-library mode: when every library shares k/stride (and
@@ -287,7 +305,7 @@ def align_files(
     stacked = None
     if (
         len(runners) > 1
-        and len({r.trim_target for r in runners}) == 1
+        and len({r.trim for r in runners}) == 1
         and os.environ.get("NIMBLE_TPU_NO_STACK", "") != "1"
     ):
         from nimble_tpu.align.stacked import StackedEngine
@@ -402,13 +420,11 @@ def align_files(
             def submit(batch):
                 if stacked is None:
                     return [r.submit_batch(batch) for r in runners]
-                r1_lens = batch["r1_lens"]
+                # trim settings are equal across libraries (stacking gate)
+                r1_lens = trimmed_lens(batch["r1_lens"], runners[0].trim)
                 r2_lens = batch.get("r2_lens")
-                trim = runners[0].trim_target  # equal across libs (gate above)
-                if trim > 0:
-                    r1_lens = np.minimum(r1_lens, trim)
-                    if r2_lens is not None:
-                        r2_lens = np.minimum(r2_lens, trim)
+                if r2_lens is not None:
+                    r2_lens = trimmed_lens(r2_lens, runners[0].trim)
                 pending = stacked.align_batch_async(
                     batch["r1_codes"], r1_lens, batch.get("r2_codes"), r2_lens
                 )

@@ -91,6 +91,25 @@ class Config:
                 setattr(cfg, key, value)
         return cfg
 
+    def trim_spec(self) -> Tuple[int, float] | None:
+        """The library's read-trim configuration, or None when untouched.
+
+        Every library JSON carries trim_target_length/trim_strictness (the
+        reference schema serializes all Config fields), so "the user asked
+        for trimming" is detected as EITHER field differing from the schema
+        defaults (50, 0.9) — the reference workflow is hand-editing the
+        generated JSON (reference: __main__.py:44). A library left at the
+        defaults aligns untrimmed, matching the reference frontend, which
+        only forwards trim settings via the --trim flag
+        (reference: __main__.py:191-192)."""
+        fields = type(self).__dataclass_fields__
+        if (
+            self.trim_target_length == fields["trim_target_length"].default
+            and self.trim_strictness == fields["trim_strictness"].default
+        ):
+            return None
+        return int(self.trim_target_length), float(self.trim_strictness)
+
 
 @dataclass
 class Data:

@@ -74,22 +74,21 @@ class KmerIndex:
     feature_to_group: np.ndarray  # int32 (n_features,)
     group_bits_words: int  # bitset words for group space
     n_kmers: int
-    # pair entries for the pair-probe engine path: one entry per distinct
-    # CANONICAL (k+1)-mer occurring in the library. Each carries the class
-    # ids of its two constituent k-mers ("a" = first k-window, "b" = second)
-    # for the canonical orientation (vsa, vsb) and its reverse complement
-    # (vda, vdb), looked up in the k-mer index above — so ONE row gather
-    # answers TWO read windows exactly (see align/engine.lookup_pair_bits).
-    pair_hi: Optional[np.ndarray] = None  # uint32 canonical (k+1)-code high
+    # group-probe entries: one entry per distinct CANONICAL (k+g-1)-mer
+    # occurring in the library, so ONE device row gather answers g read
+    # windows at once (the gather is the measured per-ROW bottleneck; see
+    # align/engine group-probe path). pair_vals[:, i] is the class id of the
+    # i-th k-window of the canonical code; pair_vals[:, g+i] the class id of
+    # the i-th k-window of its reverse complement (-1 = that window's k-mer
+    # is absent from the index — possible only at library sequence ends).
+    pair_g: int = 0  # windows per entry (0 = no group entries)
+    pair_hi: Optional[np.ndarray] = None  # uint32 canonical code high words
     pair_lo: Optional[np.ndarray] = None  # uint32 low words
-    pair_vsa: Optional[np.ndarray] = None  # int32 class ids, -1 = absent
-    pair_vsb: Optional[np.ndarray] = None
-    pair_vda: Optional[np.ndarray] = None
-    pair_vdb: Optional[np.ndarray] = None
+    pair_vals: Optional[np.ndarray] = None  # int32 (n_pairs, 2g) class ids
 
     @property
     def has_pairs(self) -> bool:
-        return self.pair_hi is not None and self.pair_hi.size > 0
+        return self.pair_g >= 2 and self.pair_hi is not None and self.pair_hi.size > 0
 
     @property
     def n_features(self) -> int:
@@ -158,12 +157,10 @@ class KmerIndex:
         pairs = {}
         if self.has_pairs:
             pairs = {
+                "pair_g": np.int32(self.pair_g),
                 "pair_hi": self.pair_hi,
                 "pair_lo": self.pair_lo,
-                "pair_vsa": self.pair_vsa,
-                "pair_vsb": self.pair_vsb,
-                "pair_vda": self.pair_vda,
-                "pair_vdb": self.pair_vdb,
+                "pair_vals": self.pair_vals,
             }
         np.savez_compressed(
             path,
@@ -194,9 +191,8 @@ class KmerIndex:
         z = np.load(path, allow_pickle=True)
         pairs = {}
         if "pair_hi" in z.files:
-            pairs = {f: z[f] for f in (
-                "pair_hi", "pair_lo", "pair_vsa", "pair_vsb", "pair_vda", "pair_vdb"
-            )}
+            pairs = {f: z[f] for f in ("pair_hi", "pair_lo", "pair_vals")}
+            pairs["pair_g"] = int(z["pair_g"])
         return cls(
             **pairs,
             k=int(z["k"]),
@@ -221,7 +217,71 @@ class KmerIndex:
 
 
 # bump to invalidate persisted .idx.npz caches when the index layout changes
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
+
+# windows per group-probe entry: a (k+GROUP_G-1)-mer contains GROUP_G
+# consecutive k-windows, so one device row gather answers GROUP_G windows.
+# 2 halves probe-gather traffic vs the mono layout; override via
+# NIMBLE_TPU_GROUP_G (0 disables group entries entirely).
+GROUP_G = 2
+
+
+def _group_g() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("NIMBLE_TPU_GROUP_G", GROUP_G))
+    except ValueError:
+        return GROUP_G
+
+
+def _attach_group_entries(index: KmerIndex, data: Data, g: Optional[int] = None) -> KmerIndex:
+    """Compute the group-probe entries for an index: one entry per distinct
+    canonical (k+g-1)-mer in the library, carrying the class ids of its g
+    constituent k-windows in both orientations (looked up in the k-mer table
+    itself, so entries are consistent with the mono probe by construction).
+
+    Skipped when num_mismatches > 0 (a read k-mer can then match via its
+    Hamming neighborhood while the containing (k+g-1)-mer is not a library
+    group — the group probe would silently lose the mismatch tolerance) and
+    when the widened code would not fit 62 bits."""
+    g = _group_g() if g is None else g
+    k = index.k
+    kg = k + g - 1
+    if g < 2 or kg > 31:
+        return index
+    chunks = []
+    for sequence in data.sequences:
+        codes = seqmod.encode(sequence)
+        gm, valid = seqmod.kmer_codes_u64(codes, kg)
+        if gm.size:
+            chunks.append(gm[valid])
+    if not chunks:
+        return index
+    X = np.concatenate(chunks)
+    if X.size == 0:
+        return index
+    rc = seqmod.revcomp_kmer_u64(X, kg)
+    X = np.unique(np.minimum(X, rc))
+    R = seqmod.revcomp_kmer_u64(X, kg)
+
+    kmask = np.uint64((1 << (2 * k)) - 1)
+    vals = np.empty((X.shape[0], 2 * g), dtype=np.int32)
+    for i in range(g):
+        # i-th k-window of a (k+g-1)-mer: drop i bases off the front and
+        # g-1-i off the back (first base lives in the high bits)
+        shift = np.uint64(2 * (g - 1 - i))
+        for col, src in ((i, X), (g + i, R)):
+            win = (src >> shift) & kmask
+            vals[:, col] = index.lookup_np(
+                (win >> np.uint64(32)).astype(np.uint32),
+                (win & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            )
+    index.pair_g = g
+    index.pair_hi = (X >> np.uint64(32)).astype(np.uint32)
+    index.pair_lo = (X & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    index.pair_vals = vals
+    return index
 
 
 def index_cache_path(library_path: str) -> str:
@@ -497,14 +557,19 @@ def build_index(
 
     if use_native is None:
         use_native = os.environ.get("NIMBLE_TPU_NO_NATIVE_INDEX", "") != "1"
+    index = None
     if use_native:
         try:
             from nimble_tpu.index.native import build_index_native
 
-            return build_index_native(data, config, k)
+            index = build_index_native(data, config, k)
         except RuntimeError:
             pass  # no toolchain / stale .so: fall back to numpy
-    return _build_index_numpy(data, config, k)
+    if index is None:
+        index = _build_index_numpy(data, config, k)
+    if (config or Config()).num_mismatches == 0:
+        index = _attach_group_entries(index, data)
+    return index
 
 
 def _build_index_numpy(

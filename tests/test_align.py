@@ -94,11 +94,16 @@ def sample_reads(rng, seqs, n, read_len, error_rate=0.0, revcomp_frac=0.5):
     return reads
 
 
-def engine_results(seqs, reads, config=None, k=21, **kw):
+def engine_results(seqs, reads, config=None, k=21, group_probe=False, **kw):
+    # group_probe defaults OFF here: these oracles pin the per-window (mono)
+    # contract; the group path has its own oracle in TestGroupProbe
     config = config or Config()
     data = make_data(seqs)
     index = build_index(data, config, k=k)
-    engine = AlignEngine(index, config, max_len=max(len(r) for r in reads), **kw)
+    engine = AlignEngine(
+        index, config, max_len=max(len(r) for r in reads),
+        group_probe=group_probe, **kw,
+    )
     codes, lens = seqmod.encode_batch(reads, engine.max_len)
     out = engine.align_batch(codes, lens)
     return index, out
@@ -375,3 +380,136 @@ def test_revcomp_device_matches_host():
         got = seqmod.decode(out[i][: lens[i]])
         assert got == seqmod.revcomp(read)
         assert (out[i][lens[i]:] == seqmod.N_CODE).all()
+
+
+class TestGroupProbe:
+    """The group-probe path: one canonical (k+g-1)-mer gather answers g
+    windows (engine._score_mate_group). Contract: bit-identical to the mono
+    path on reads whose probed groups are library-resident (all clean
+    reads); conservative (windows adjacent to an error/N may be lost) on
+    noisy reads — pinned exactly by oracle_group below."""
+
+    def _run(self, seqs, reads, cfg, group, k=21, max_len=None):
+        data = make_data(seqs)
+        index = build_index(data, cfg, k=k)
+        engine = AlignEngine(
+            index, cfg, max_len=max_len or max(len(r) for r in reads),
+            group_probe=group,
+        )
+        if group:
+            assert "group_bucket" in engine.tables, "group path not active"
+            assert engine.params.group_g >= 2
+            assert "mono_bucket" not in engine.tables
+        codes, lens = seqmod.encode_batch(reads, engine.max_len)
+        return index, engine.align_batch(codes, lens)
+
+    def test_clean_reads_bit_identical_to_mono(self, hla_like):
+        # every read-length parity (the tail probe's coverage of the final
+        # window depends on len-k parity), reads at sequence starts/ends,
+        # and reverse-complemented reads
+        rng = np.random.default_rng(31)
+        reads = []
+        for rl in (100, 101, 99, 22, 23, 24):
+            reads += sample_reads(rng, hla_like, 8, read_len=rl)
+        reads += [s[: 100] for s in hla_like]          # sequence starts
+        reads += [s[-100:] for s in hla_like]          # sequence ends
+        reads += [seqmod.revcomp(s[-64:]) for s in hla_like]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        _, mono = self._run(hla_like, reads, cfg, group=False, max_len=101)
+        _, grp = self._run(hla_like, reads, cfg, group=True, max_len=101)
+        for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
+            np.testing.assert_array_equal(grp[key], mono[key], err_msg=key)
+
+    def test_noisy_and_n_reads_match_group_oracle(self, hla_like):
+        rng = np.random.default_rng(37)
+        reads = sample_reads(rng, hla_like, 48, read_len=100, error_rate=0.03)
+        reads += [r[:40] + "N" + r[41:] for r in
+                  sample_reads(rng, hla_like, 8, read_len=100)]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        index, out = self._run(hla_like, reads, cfg, group=True)
+        kmap = oracle_kmer_map(hla_like, 21)
+        pairset = oracle_pair_set(hla_like, 21, index.pair_g)
+        member = decode_bitsets(out["bits"], index.n_features)
+        for i, read in enumerate(reads):
+            sf, ff = oracle_group_mate(read, kmap, pairset, 21, index.pair_g, "fwd")
+            sr, fr = oracle_group_mate(read, kmap, pairset, 21, index.pair_g, "rev")
+            score, feats = (sf, ff) if sf >= sr else (sr, fr)
+            assert out["r1_fwd"][i] == sf, (i, read)
+            assert out["r1_rev"][i] == sr, (i, read)
+            if not feats:
+                assert out["score"][i] == 0
+                assert not member[i].any()
+            else:
+                assert out["score"][i] == score
+                assert set(np.nonzero(member[i])[0]) == feats
+
+    def test_noisy_reads_conservative_vs_mono(self, hla_like):
+        rng = np.random.default_rng(41)
+        reads = sample_reads(rng, hla_like, 64, read_len=100, error_rate=0.02)
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        _, mono = self._run(hla_like, reads, cfg, group=False)
+        _, grp = self._run(hla_like, reads, cfg, group=True)
+        # coverage can only drop; most reads are unaffected
+        assert (grp["r1_fwd"] <= mono["r1_fwd"]).all()
+        assert (grp["r1_rev"] <= mono["r1_rev"]).all()
+        same = (grp["score"] == mono["score"]).mean()
+        assert same >= 0.4, same
+
+    def test_reads_shorter_than_group_are_unmapped(self, hla_like):
+        # length-k reads have windows but no (k+g-1)-mer: documented
+        # divergence — the group path cannot map them
+        reads = [s[10 : 10 + 21] for s in hla_like[:4]]
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        _, grp = self._run(hla_like, reads, cfg, group=True, max_len=100)
+        assert (grp["score"] == 0).all()
+
+
+def oracle_pair_set(seqs, k, g):
+    kg = k + g - 1
+    out = set()
+    for s in seqs:
+        codes = seqmod.encode(s)
+        gm, valid = seqmod.kmer_codes_u64(codes, kg)
+        rc = seqmod.revcomp_kmer_u64(gm, kg)
+        for c in np.minimum(gm, rc)[valid]:
+            out.add(int(c))
+    return out
+
+
+def oracle_group_mate(read, kmap, pairset, k, g, orient):
+    """Brute-force group-probe semantics for one orientation, mirroring the
+    engine's probe grid: grid positions 0, g, 2g, ... plus the per-read tail
+    probe at len-(k+g-1). A window is matched iff its probed group's
+    canonical code is a library group AND the window's k-mer (forward for
+    orient='fwd', its reverse complement for 'rev') is in the k-mer index."""
+    kg = k + g - 1
+    codes = seqmod.encode(read)
+    km, kvalid = seqmod.kmer_codes_u64(codes, k)
+    gm, gvalid = seqmod.kmer_codes_u64(codes, kg)
+    l = len(read)
+    PP = l - kg + 1
+    probes = list(range(0, max(PP, 0), g))
+    if l >= kg:
+        probes.append(l - kg)
+    matched = {}
+    for j in probes:
+        if j >= len(gm) or not gvalid[j]:
+            continue
+        c = int(gm[j])
+        rc = int(seqmod.revcomp_kmer_u64(np.array([c], dtype=np.uint64), kg)[0])
+        if min(c, rc) not in pairset:
+            continue
+        for i in range(g):
+            w = j + i
+            wc = int(km[w])
+            if orient == "rev":
+                wc = int(seqmod.revcomp_kmer_u64(np.array([wc], dtype=np.uint64), k)[0])
+            if wc in kmap:
+                matched[w] = kmap[wc]
+    covered = set()
+    for w in matched:
+        covered.update(range(w, w + k))
+    feats = None
+    for w in matched:
+        feats = set(matched[w]) if feats is None else feats & matched[w]
+    return len(covered), (feats or set())

@@ -287,3 +287,59 @@ def test_build_index_for_library_cache(tmp_path, monkeypatch):
     _os.remove(sidecar)
     B.build_index_for_library(lib, data2, Config(), k=15)
     assert not _os.path.exists(sidecar)
+
+
+def test_group_entries_match_bruteforce_oracle():
+    """Group-probe entries: one per distinct canonical (k+1)-mer, each
+    window's class id equal to the k-mer table's own lookup."""
+    rng = np.random.default_rng(3)
+    base = rand_seq(rng, 400)
+    seqs = [base[:250], base[150:400], rand_seq(rng, 300)]
+    k = 15
+    idx = build_index(make_data(seqs), Config(), k=k)
+    assert idx.has_pairs and idx.pair_g == 2
+    g, kg = idx.pair_g, k + 1
+
+    # oracle: distinct canonical (k+1)-mers over the library
+    all_pairs = set()
+    for s in seqs:
+        codes = seqmod.encode(s)
+        gm, valid = seqmod.kmer_codes_u64(codes, kg)
+        for c in gm[valid]:
+            rc = int(seqmod.revcomp_kmer_u64(np.array([c], dtype=np.uint64), kg)[0])
+            all_pairs.add(min(int(c), rc))
+    stored = set(
+        (int(h) << 32) | int(l) for h, l in zip(idx.pair_hi, idx.pair_lo)
+    )
+    assert stored == all_pairs
+
+    kmask = (1 << (2 * k)) - 1
+    X = (idx.pair_hi.astype(np.uint64) << np.uint64(32)) | idx.pair_lo.astype(np.uint64)
+    R = seqmod.revcomp_kmer_u64(X, kg)
+    for i in range(g):
+        shift = np.uint64(2 * (g - 1 - i))
+        for col, src in ((i, X), (g + i, R)):
+            win = (src >> shift) & np.uint64(kmask)
+            expect = idx.lookup_np(
+                (win >> np.uint64(32)).astype(np.uint32),
+                (win & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            )
+            np.testing.assert_array_equal(idx.pair_vals[:, col], expect)
+    # in at least one orientation every window's k-mer is a library k-mer
+    fwd_ok = idx.pair_vals[:, :g] >= 0
+    rev_ok = idx.pair_vals[:, g:] >= 0
+    assert bool(np.all(fwd_ok | rev_ok))
+
+    # mismatch expansion disables group entries (semantics would diverge)
+    idx_mm = build_index(make_data(seqs), Config(num_mismatches=1), k=k)
+    assert not idx_mm.has_pairs
+
+    # save/load round-trips the group entries
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "x.npz")
+        idx.save(p)
+        idx2 = type(idx).load(p)
+        assert idx2.pair_g == 2
+        np.testing.assert_array_equal(idx2.pair_hi, idx.pair_hi)
+        np.testing.assert_array_equal(idx2.pair_vals, idx.pair_vals)

@@ -57,7 +57,7 @@ def test_mono_select_kernel_matches_jnp():
         data.columns[2].append(str(len(s))); data.columns[3].append(s)
     k = 15
     idx = build_index(data, Config(), k=k)
-    tables = E._device_tables(idx)
+    tables = E._device_tables(idx, group_ok=False)  # pin the mono layout
     assert "mono_bucket" in tables
     W = idx.bitset_words
 
