@@ -35,9 +35,18 @@ def main(argv=None) -> int:
     align_parser.add_argument("--trim", help="Trim config <TARGET_LENGTH>:<STRICTNESS>, comma-separated per library.", type=str, default="")
     align_parser.add_argument("--tmpdir", help="Accepted for compatibility (no BAM sort needed).", type=str, default=None)
     align_parser.add_argument("--max-read-length", type=int, default=256)
-    align_parser.add_argument("--chunk-size", type=int, default=4096)
+    align_parser.add_argument(
+        "--chunk-size", type=int, default=0,
+        help="Reads per device call (0 = auto-size from the engine path and "
+             "HBM transient budget; see align.engine.auto_chunk_size).",
+    )
     align_parser.add_argument("--resume", action="store_true", default=False,
                               help="Resume an interrupted run from its .progress.json sidecar.")
+    align_parser.add_argument(
+        "--mesh", type=str, default="",
+        help="Multi-chip mesh spec: 'data=N[,feature=M]' or 'auto' (all "
+             "devices on the data axis). Default: single device.",
+    )
 
     report_parser = subparsers.add_parser("report")
     report_parser.add_argument("-i", "--input", type=str, required=True)
@@ -45,6 +54,16 @@ def main(argv=None) -> int:
     report_parser.add_argument("-s", "--summarize", help="CSV list of columns to summarize.", type=str, default=None)
     report_parser.add_argument("-t", "--threshold", type=float, default=0.05)
     report_parser.add_argument("--disable_thresholding", action="store_true", default=False)
+    report_parser.add_argument(
+        "--device", action="store_true", default=False,
+        help="Run the UMI pipeline as XLA segment ops on the accelerator "
+             "(quant/device.py) instead of the exact host path.",
+    )
+    report_parser.add_argument(
+        "--distributed", type=int, default=0, metavar="N",
+        help="Shard the device UMI pipeline over an N-way data mesh with a "
+             "cell-barcode-bucket all-to-all exchange (parallel/dist.py).",
+    )
 
     plot_parser = subparsers.add_parser("plot")
     plot_parser.add_argument("--input_file", type=str, required=True)
@@ -85,16 +104,30 @@ def main(argv=None) -> int:
             args.output,
             args.input,
             strand_filter=args.strand_filter,
-            chunk_size=args.chunk_size,
+            chunk_size=args.chunk_size or None,
             max_len=args.max_read_length,
             resume=args.resume,
             trim=args.trim,
+            mesh=args.mesh,
         )
     if args.subcommand == "report":
         from nimble_tpu.report.tsv import report
 
         summarize_columns_list = args.summarize.split(",") if args.summarize else None
-        report(args.input, args.output, summarize_columns_list, args.threshold, args.disable_thresholding)
+        engine = "host"
+        if args.distributed > 0:
+            engine = "distributed"
+        elif args.device:
+            engine = "device"
+        report(
+            args.input,
+            args.output,
+            summarize_columns_list,
+            args.threshold,
+            args.disable_thresholding,
+            engine=engine,
+            dist_shards=args.distributed,
+        )
         return 0
     if args.subcommand == "plot":
         from nimble_tpu.report.plots import plot_command

@@ -113,6 +113,55 @@ MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 # width regime where gather cost is still per-row (g=2, W=8 -> 272 bytes)
 GROUP_MAX_WORDS = 8
 
+# auto chunk sizing: the axon relay imposes a ~5ms fixed cost per device
+# call (measured: window-only == tiny-gather == ~5.5ms at any geometry,
+# scripts/ablate_group4.py), so throughput scales with chunk size until the
+# transient working set matters. Budget the dominant per-read intermediates
+# against ~1 GB of HBM transients and round to a power of two (stable
+# compile-cache keys).
+AUTO_CHUNK_BUDGET = 1 << 30
+AUTO_CHUNK_MIN = 1 << 10
+AUTO_CHUNK_MAX = 1 << 17
+
+
+def _chunk_from_per_read(per_read_i32: int, paired: bool) -> int:
+    bytes_per_read = per_read_i32 * 4 * (2 if paired else 1)
+    chunk = max(AUTO_CHUNK_BUDGET // max(bytes_per_read, 1), 1)
+    chunk = 1 << int(np.log2(chunk))
+    try:
+        if jax.default_backend() != "tpu":
+            chunk = min(chunk, 1 << 13)  # virtual CPU meshes: keep RAM sane
+    except Exception:
+        pass
+    return int(np.clip(chunk, AUTO_CHUNK_MIN, AUTO_CHUNK_MAX))
+
+
+def auto_chunk_size(
+    index: KmerIndex,
+    max_len: int,
+    paired: bool = False,
+    group_ok: bool = True,
+) -> int:
+    """Largest power-of-two chunk whose per-chunk transient working set fits
+    AUTO_CHUNK_BUDGET, by engine path. Used when chunk_size is not given —
+    the CLI and bench share this, so benchmarked throughput is what `align`
+    actually delivers."""
+    k = index.k
+    L = max(max_len, k)
+    P = L - k + 1
+    W = index.bitset_words
+    S = BUCKET_SLOTS
+    if group_ok and index.has_pairs and W <= GROUP_MAX_WORDS:
+        g = index.pair_g
+        PP = max(L - (k + g - 1) + 1, 1)
+        Q = (PP + g - 1) // g + 1
+        per_read = Q * S * (2 + 2 * W + 1) + 4 * Q * W + 10 * PP + 6 * P
+    elif W <= INLINE_BITS_MAX_WORDS:
+        per_read = P * S * (2 + 2 * W) + 2 * P * W + 10 * P
+    else:
+        per_read = P * (4 * S + 2 * W) + 10 * P
+    return _chunk_from_per_read(per_read, paired)
+
 
 def _device_tables(index: KmerIndex, inline_ok: bool = True, group_ok: bool = True):
     """Index tensors as a pytree of jnp arrays.
@@ -1000,11 +1049,12 @@ class AlignEngine:
         index: KmerIndex,
         config: Config,
         strand_filter: str = "unstranded",
-        chunk_size: int = 2048,
+        chunk_size: Optional[int] = 2048,
         max_len: int = 256,
         paired: bool = False,
         mesh=None,
         group_probe: Optional[bool] = None,
+        chunk_cap: Optional[int] = None,
     ):
         self.index = index
         self.config = config
@@ -1034,6 +1084,13 @@ class AlignEngine:
         )
         if group_probe is not None:
             group_ok = group_ok and group_probe
+
+        if chunk_size is None:
+            chunk_size = auto_chunk_size(index, self.max_len, paired, group_ok)
+            if chunk_cap is not None and chunk_cap < chunk_size:
+                # stay within the caller's batch size (a chunk larger than
+                # the read batches would pad every batch)
+                chunk_size = max(1 << int(np.log2(max(chunk_cap, 1))), 1)
 
         if mesh is not None:
             from nimble_tpu.parallel.mesh import shard_tables

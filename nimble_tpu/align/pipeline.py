@@ -121,11 +121,15 @@ def trimmed_lens(lens: np.ndarray, trim: Tuple[int, float]) -> np.ndarray:
 
 @dataclass
 class LibraryRunner:
-    """One library's engine + emission state + output file."""
+    """One library's engine + emission state + output file.
+
+    engine is None while undecided: in stacked multi-library mode the
+    per-library engines (and their HBM-resident device tables) are never
+    constructed — the StackedEngine answers every library from one probe."""
 
     config: Config
     index: KmerIndex
-    engine: AlignEngine
+    engine: Optional[AlignEngine]
     emit: EmitConfig
     output_path: str
     trim: Tuple[int, float] = (0, 0.0)  # (target_length, strictness); (0, _) = off
@@ -199,20 +203,25 @@ def make_runner(
     output_path: str,
     strand_filter: str = "unstranded",
     paired: bool = False,
-    chunk_size: int = 2048,
+    chunk_size: Optional[int] = 2048,
     max_len: int = 256,
     kmer_length: Optional[int] = None,
+    mesh=None,
+    build_engine: bool = True,
 ) -> LibraryRunner:
     config, data = load_library(library_path)
     index = build_index_for_library(library_path, data, config, k=kmer_length)
-    engine = AlignEngine(
-        index,
-        config,
-        strand_filter=strand_filter,
-        chunk_size=chunk_size,
-        max_len=max_len,
-        paired=paired,
-    )
+    engine = None
+    if build_engine:
+        engine = AlignEngine(
+            index,
+            config,
+            strand_filter=strand_filter,
+            chunk_size=chunk_size,
+            max_len=max_len,
+            paired=paired,
+            mesh=mesh,
+        )
     emit = EmitConfig(
         group_on=bool(config.group_on),
         discard_multiple_matches=bool(config.discard_multiple_matches),
@@ -241,15 +250,22 @@ def align_files(
     output: str,
     inputs: Sequence[str],
     strand_filter: str = "unstranded",
-    chunk_size: int = 2048,
+    chunk_size: Optional[int] = None,
     max_len: int = 256,
-    batch_records: int = 1 << 14,
+    batch_records: int = 1 << 17,
     resume: bool = False,
     trim: str = "",
+    mesh: str = "",
 ) -> int:
     """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
     library list, one output TSV per library (reference: __main__.py:153-211).
     Returns a process exit code.
+
+    mesh: multi-chip spec "data=N[,feature=M]" (or "auto" for all devices
+    on the data axis) — the reference's only parallelism knob is `-c`
+    threads (reference: __main__.py:180); here the read stream shards over
+    the mesh's data axis and, for feature-split meshes, the class-bitset
+    matrix over the feature axis (parallel/mesh.py).
 
     Checkpoint/resume: a `<output>.progress.json` sidecar records the batch
     cursor and per-library row counts after every batch (the reference's
@@ -279,12 +295,26 @@ def align_files(
             strictness = float(parts[1]) if len(parts) > 1 and parts[1] else 1.0
             trim_targets[i] = (int(parts[0]), strictness)
 
+    mesh_plan = None
+    if mesh:
+        from nimble_tpu.parallel.mesh import parse_mesh_spec
+
+        mesh_plan = parse_mesh_spec(mesh)
+        if mesh_plan is not None:
+            log.event(
+                "mesh",
+                n_data=mesh_plan.n_data,
+                n_feature=mesh_plan.n_feature,
+            )
+
     runners: List[LibraryRunner] = []
     with log.stage("index_build", libraries=library_list):
         for lib_idx, library in enumerate(library_list):
             out_append = ""
             if len(library_list) > 1:
                 out_append = "." + os.path.splitext(os.path.basename(library))[0]
+            # engines are constructed after the stacking decision so stacked
+            # runs never materialize per-library device tables in HBM
             runner = make_runner(
                 library,
                 append_path_string(output, out_append),
@@ -292,6 +322,7 @@ def align_files(
                 paired=paired,
                 chunk_size=chunk_size,
                 max_len=max_len,
+                build_engine=False,
             )
             if lib_idx in trim_targets:
                 runner.trim = trim_targets[lib_idx]
@@ -301,11 +332,14 @@ def align_files(
 
     # stacked multi-library mode: when every library shares k/stride (and
     # trim), ONE device probe per window answers all of them (align/stacked
-    # .py); otherwise each library keeps its standalone engine
+    # .py); otherwise each library keeps its standalone engine. A
+    # feature-split mesh is incompatible with stacking (bits are inlined in
+    # the stacked bucket rows), so it routes to per-library engines.
     stacked = None
     if (
         len(runners) > 1
         and len({r.trim for r in runners}) == 1
+        and (mesh_plan is None or mesh_plan.n_feature == 1)
         and os.environ.get("NIMBLE_TPU_NO_STACK", "") != "1"
     ):
         from nimble_tpu.align.stacked import StackedEngine
@@ -321,10 +355,25 @@ def align_files(
                     chunk_size=chunk_size,
                     max_len=max_len,
                     paired=paired,
+                    mesh=mesh_plan,
+                    chunk_cap=batch_records,
                 )
                 log.event("stacked_engine", n_libraries=len(runners))
             except ValueError:
                 stacked = None
+    if stacked is None:
+        with log.stage("engine_build"):
+            for r in runners:
+                r.engine = AlignEngine(
+                    r.index,
+                    r.config,
+                    strand_filter=strand_filter,
+                    chunk_size=chunk_size,
+                    max_len=max_len,
+                    paired=paired,
+                    mesh=mesh_plan,
+                    chunk_cap=batch_records,
+                )
 
     progress_path = output + ".progress.json"
     batches_done = 0

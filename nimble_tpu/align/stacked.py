@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from nimble_tpu.align import engine as E
 from nimble_tpu.config import Config
 from nimble_tpu.index.builder import KmerIndex
-from nimble_tpu.index.hashing import bucket_hashes_jnp, bucket_hashes_np
+from nimble_tpu.index.hashing import bucket_hashes_jnp
 
 # combined-width budget: mono rows stay within the flat row-gather cost
 # region measured on v5e (docs/PERF.md); beyond it stacking still wins on
@@ -97,49 +97,24 @@ def build_stacked_tables(
     entry = 2 + 2 * W_cat
     hi = (all_keys >> np.uint64(32)).astype(np.uint32)
     lo = (all_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    # grow the table until the overflow stash is tiny: every stash entry
-    # costs a (B, P, W_cat) vector sweep per probe (see engine's
-    # MONO_TIGHT_STASH note)
-    placed = None
-    best = None  # (stash_size, nb2, h_sorted, order, placed)
-    for extra in (1, 2, 3, 4, 5, 6):
-        nb2 = 1 << max(1, int(np.ceil(np.log2(n))) + extra)
-        if nb2 * S * entry * 4 > E.MONO_MAX_BYTES:
-            break
-        h, _ = bucket_hashes_np(hi, lo, nb2)
-        order = np.argsort(h, kind="stable")
-        h_sorted = h[order]
-        boundary = np.empty(n, dtype=bool)
-        boundary[0] = True
-        boundary[1:] = h_sorted[1:] != h_sorted[:-1]
-        start = np.flatnonzero(boundary)
-        group = np.cumsum(boundary) - 1
-        rank = np.arange(n) - start[group]
-        placed = rank < S
-        n_over = int((~placed).sum())
-        if best is None or n_over < best[0]:
-            best = (n_over, nb2, h_sorted, order, placed)
-        if n_over <= E.MONO_TIGHT_STASH:
-            break
-    if best is None or best[0] > E.MONO_MAX_STASH:
+    # grow-until-tight single-hash placement shared with the mono and group
+    # layouts (engine._single_hash_placement; see MONO_TIGHT_STASH note)
+    placement = E._single_hash_placement(hi, lo, entry, S)
+    if placement is None:
         return None
-    _, nb2, h_sorted, order, placed = best
+    nb2, b, s, keys_idx, skeys = placement
 
     # empty slots carry the impossible key hi = -1 (canonical hi < 2^30)
     table = np.zeros((nb2, S * entry), dtype=np.int32)
     table[:, 0:S] = -1
-    keys_idx = order[placed]
-    b = h_sorted[placed].astype(np.int64)
-    s = rank[placed].astype(np.int64)
     table[b, s] = hi[keys_idx].view(np.int32)
     table[b, S + s] = lo[keys_idx].view(np.int32)
     for w in range(W_cat):
         table[b, 2 * S + w * S + s] = vs_cat[keys_idx, w]
         table[b, 2 * S + W_cat * S + w * S + s] = vd_cat[keys_idx, w]
 
-    n_stash = int((~placed).sum())
+    n_stash = int(skeys.shape[0])
     pad = max(1, n_stash)
-    skeys = order[~placed]
     ms_hi = np.zeros(pad, dtype=np.int32)
     ms_lo = np.zeros(pad, dtype=np.int32)
     ms_vsb = np.zeros((pad, W_cat), dtype=np.int32)
@@ -244,34 +219,68 @@ class StackedEngine:
         indexes: Sequence[KmerIndex],
         configs: Sequence[Config],
         strand_filter: str = "unstranded",
-        chunk_size: int = 2048,
+        chunk_size: Optional[int] = 2048,
         max_len: int = 256,
         paired: bool = False,
+        mesh=None,
+        chunk_cap: Optional[int] = None,
     ):
         self.indexes = list(indexes)
-        self.chunk_size = chunk_size
         self.max_len = max(max_len, indexes[0].k)
         self.paired = paired
+        self.mesh = mesh
         tables = build_stacked_tables(indexes)
         if tables is None:
             raise ValueError("libraries not stackable (width/memory budget)")
         self.seg_words = tables.pop("seg_words")
-        self.tables = tables
+        if chunk_size is None:
+            W_cat = int(self.seg_words[-1])
+            P = self.max_len - indexes[0].k + 1
+            per_read = P * STACK_SLOTS * (2 + 2 * W_cat) + 2 * P * W_cat + 10 * P
+            chunk_size = E._chunk_from_per_read(per_read, paired)
+            if chunk_cap is not None and chunk_cap < chunk_size:
+                chunk_size = max(1 << int(np.log2(max(chunk_cap, 1))), 1)
         self.params = [
             E.AlignParams.from_config(c, ix, strand_filter)
             for c, ix in zip(configs, indexes)
         ]
+        jit_kwargs = {}
+        if mesh is not None:
+            # stacked tables inline every library's bitsets in the bucket
+            # rows, so only read-batch (data-axis) sharding applies; a
+            # feature-split mesh falls back to per-library engines upstream
+            if mesh.n_feature != 1:
+                raise ValueError("stacked engine shards the data axis only")
+            import dataclasses as _dc
+
+            # Pallas under the SPMD partitioner needs explicit shard_map
+            # plumbing; the multi-chip path stays on the XLA window stage
+            self.params = [
+                _dc.replace(p, window_kernel=False) for p in self.params
+            ]
+            chunk_size = -(-chunk_size // mesh.n_data) * mesh.n_data
+            tables = {
+                k: jax.device_put(v, mesh.replicated) for k, v in tables.items()
+            }
+            in_shardings = [mesh.batch_sharded, mesh.data_sharded]
+            if paired:
+                in_shardings += [mesh.batch_sharded, mesh.data_sharded]
+            jit_kwargs = dict(in_shardings=tuple([None] + in_shardings))
+        self.tables = tables
+        self.chunk_size = chunk_size
         params = self.params
         seg = self.seg_words
         if paired:
             self._fn = jax.jit(
                 lambda t, c1, l1, c2, l2: stacked_align_step(
                     t, params, seg, c1, l1, c2, l2
-                )
+                ),
+                **jit_kwargs,
             )
         else:
             self._fn = jax.jit(
-                lambda t, c1, l1: stacked_align_step(t, params, seg, c1, l1)
+                lambda t, c1, l1: stacked_align_step(t, params, seg, c1, l1),
+                **jit_kwargs,
             )
 
     _pad = E.AlignEngine._pad

@@ -217,13 +217,15 @@ class KmerIndex:
 
 
 # bump to invalidate persisted .idx.npz caches when the index layout changes
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4  # v4: group entries default to g=6 (was 2)
 
 # windows per group-probe entry: a (k+GROUP_G-1)-mer contains GROUP_G
-# consecutive k-windows, so one device row gather answers GROUP_G windows.
-# 2 halves probe-gather traffic vs the mono layout; override via
-# NIMBLE_TPU_GROUP_G (0 disables group entries entirely).
-GROUP_G = 2
+# consecutive k-windows, so one device row gather answers GROUP_G windows
+# (6x fewer probe rows at g=6). Measured on v5e (scripts/ablate_group3/4):
+# g=6 beats g=2/3/4 at every chunk size (3.5M reads/s vs 1.7M at chunk
+# 65536). Max 8 (per-window presence masks pack as four 8-bit fields in one
+# int32); override via NIMBLE_TPU_GROUP_G (0 disables group entries).
+GROUP_G = 6
 
 
 def _group_g() -> int:
@@ -248,7 +250,7 @@ def _attach_group_entries(index: KmerIndex, data: Data, g: Optional[int] = None)
     g = _group_g() if g is None else g
     k = index.k
     kg = k + g - 1
-    if g < 2 or kg > 31:
+    if g < 2 or g > 8 or kg > 31:
         return index
     chunks = []
     for sequence in data.sequences:
@@ -298,7 +300,10 @@ def index_cache_key(library_path: str, k: Optional[int]) -> str:
     with open(library_path, "rb") as f:
         for block in iter(lambda: f.read(1 << 20), b""):
             h.update(block)
-    return f"v{INDEX_FORMAT_VERSION}:k={int(k or 0)}:{h.hexdigest()[:24]}"
+    return (
+        f"v{INDEX_FORMAT_VERSION}:k={int(k or 0)}:g={_group_g()}:"
+        f"{h.hexdigest()[:24]}"
+    )
 
 
 def build_index_for_library(
@@ -356,7 +361,7 @@ def _collect_kmer_feature_pairs(
 
 
 def _expand_hamming1(codes: np.ndarray, feats: np.ndarray, k: int, chunk: int = 1 << 20):
-    """Hamming-1 neighborhood expansion for num_mismatches >= 1: every
+    """Hamming-1 neighborhood expansion for num_mismatches == 1: every
     reference k-mer also maps its 3k single-base variants to its feature.
     XOR with a nonzero 2-bit delta at a position enumerates exactly the other
     three bases there."""
@@ -370,6 +375,47 @@ def _expand_hamming1(codes: np.ndarray, feats: np.ndarray, k: int, chunk: int = 
             variants = c[:, None] ^ (deltas[None, :] << np.uint64(2 * pos))
             out_codes.append(variants.reshape(-1))
             out_feats.append(np.repeat(f, 3))
+    return np.concatenate(out_codes), np.concatenate(out_feats)
+
+
+# Hamming-2 expansion multiplies entries by 1 + 3k + 9*C(k,2) (~1900x at
+# k=21); refuse to build tables beyond this bound rather than thrash
+HAMMING2_MAX_ENTRIES = 1 << 28
+
+
+def _expand_hamming2(codes: np.ndarray, feats: np.ndarray, k: int, chunk: int = 1 << 14):
+    """Hamming-<=2 neighborhood expansion for num_mismatches == 2: every
+    reference k-mer also maps all single- and double-base variants to its
+    feature. Entry count is guarded by HAMMING2_MAX_ENTRIES (the caller
+    raises a clear error instead of an OOM; reference contract:
+    nimble/types.py:14 exposes num_mismatches as a free integer, but the
+    backend's cost there is the same combinatorial blowup)."""
+    n = codes.shape[0]
+    per = 1 + 3 * k + 9 * (k * (k - 1) // 2)
+    if n * per > HAMMING2_MAX_ENTRIES:
+        raise ValueError(
+            f"num_mismatches=2 expansion needs {n * per:,} index entries for "
+            f"{n:,} k-mers at k={k} (limit {HAMMING2_MAX_ENTRIES:,}); use a "
+            "smaller library/k or num_mismatches<=1"
+        )
+    deltas = np.array([1, 2, 3], dtype=np.uint64)
+    pair_xors = []
+    for p1 in range(k):
+        for p2 in range(p1 + 1, k):
+            a = deltas << np.uint64(2 * p1)
+            b = deltas << np.uint64(2 * p2)
+            pair_xors.append((a[:, None] ^ b[None, :]).reshape(-1))
+    pair_xors = np.concatenate(pair_xors)  # 9*C(k,2) masks
+
+    codes1, feats1 = _expand_hamming1(codes, feats, k)
+    out_codes = [codes1]
+    out_feats = [feats1]
+    for start in range(0, n, chunk):
+        c = codes[start : start + chunk]
+        f = feats[start : start + chunk]
+        variants = c[:, None] ^ pair_xors[None, :]
+        out_codes.append(variants.reshape(-1))
+        out_feats.append(np.repeat(f, pair_xors.shape[0]))
     return np.concatenate(out_codes), np.concatenate(out_feats)
 
 
@@ -557,6 +603,8 @@ def build_index(
 
     if use_native is None:
         use_native = os.environ.get("NIMBLE_TPU_NO_NATIVE_INDEX", "") != "1"
+    if (config or Config()).num_mismatches > 1:
+        use_native = False  # the C++ builder implements Hamming-1 only
     index = None
     if use_native:
         try:
@@ -596,8 +644,16 @@ def _build_index_numpy(
     n_features = len(feature_names)
 
     codes, feats = _collect_kmer_feature_pairs(data, k, feature_ids)
-    if config.num_mismatches > 0:
+    if config.num_mismatches == 1:
         codes, feats = _expand_hamming1(codes, feats, k)
+    elif config.num_mismatches == 2:
+        codes, feats = _expand_hamming2(codes, feats, k)
+    elif config.num_mismatches > 2:
+        raise ValueError(
+            f"num_mismatches={config.num_mismatches} is not supported "
+            "(Hamming expansion beyond 2 is combinatorially infeasible at "
+            "library scale); use num_mismatches in [0, 2]"
+        )
 
     # canonicalize: key = canonical code, strand bit = whether the reference
     # k-mer was NOT in canonical orientation. augmented = canon*2 + strand

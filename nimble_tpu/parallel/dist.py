@@ -114,7 +114,8 @@ def distributed_report(
     feature_names: Sequence[str],
     threshold: float = 0.05,
     disable_thresholding: bool = False,
-) -> List[Tuple[str, int, str]]:
+    with_dropped: bool = False,
+):
     """End-to-end distributed counting demo/impl over an in-process mesh.
 
     shard_rows[s] = rows aligned by data-shard s, each (cb, umi, bits, score)
@@ -168,6 +169,7 @@ def distributed_report(
 
     # each shard now owns disjoint cbs: run the device pipeline per shard
     merged: Dict[Tuple[str, str], int] = {}
+    dropped_total = 0
     for s in range(n_shards):
         recs = out_rows[s][out_valid[s]]
         if recs.shape[0] == 0:
@@ -176,9 +178,13 @@ def distributed_report(
         umis = [hash_to_umi[(int(r[2]), int(r[3]))] for r in recs]
         bits = recs[:, 4 : 4 + W]
         scores = recs[:, 4 + W].view(np.float32).astype(np.float64)
-        for feature, count, cb in report_device(
-            cbs, umis, bits, scores, feature_names, threshold, disable_thresholding
-        ):
+        counts, dropped = report_device(
+            cbs, umis, bits, scores, feature_names, threshold,
+            disable_thresholding, with_dropped=True,
+        )
+        dropped_total += dropped
+        for feature, count, cb in counts:
             merged[(cb, feature)] = merged.get((cb, feature), 0) + count
 
-    return [(feature, c, cb) for (cb, feature), c in sorted(merged.items())]
+    rows = [(feature, c, cb) for (cb, feature), c in sorted(merged.items())]
+    return (rows, dropped_total) if with_dropped else rows

@@ -77,6 +77,41 @@ def make_mesh(
     return MeshPlan(Mesh(dev_array, ("data", "feature")))
 
 
+def parse_mesh_spec(spec: str, devices=None) -> Optional[MeshPlan]:
+    """Parse the CLI mesh spec into a MeshPlan.
+
+    Accepted forms: "data=4,feature=2", "data=8", "feature=2" (data fills
+    the remaining devices), a bare int "8" (all data), or "auto" (all
+    available devices on the data axis). Empty/None -> None (single-device,
+    no mesh).
+    """
+    if not spec:
+        return None
+    spec = spec.strip().lower()
+    devices = devices if devices is not None else jax.devices()
+    if spec == "auto":
+        return make_mesh(n_data=len(devices), devices=devices)
+    if spec.isdigit():
+        return make_mesh(n_data=int(spec), devices=devices)
+    n_data = None
+    n_feature = 1
+    for part in spec.split(","):
+        if not part:
+            continue
+        try:
+            axis, _, value = part.partition("=")
+            value = int(value)
+        except ValueError:
+            raise ValueError(f"bad mesh spec entry {part!r} (want axis=N)")
+        if axis == "data":
+            n_data = value
+        elif axis == "feature":
+            n_feature = value
+        else:
+            raise ValueError(f"unknown mesh axis {axis!r} (want data/feature)")
+    return make_mesh(n_data=n_data, n_feature=n_feature, devices=devices)
+
+
 def pad_axis(arr: np.ndarray, axis: int, multiple: int, fill=0) -> np.ndarray:
     size = arr.shape[axis]
     target = -(-size // multiple) * multiple

@@ -88,6 +88,80 @@ def _kde_image(values, title, xlabel) -> str:
     return _b64(fig)
 
 
+def _position_segments(positions, gap=150_000, pad=10_000, max_panels=5):
+    """Split sorted positions into dense segments separated by gaps wider
+    than `gap` (doubling `gap` until at most max_panels segments remain);
+    each segment is padded by `pad` on both sides. Mirrors the reference's
+    discontinuity handling for position-density plots (reference:
+    nimble/report_generation.py:194-270) so features aligned against
+    multi-exon / spliced references get one panel per covered region
+    instead of one unreadable axis."""
+    pos = np.sort(np.unique(np.asarray(positions, dtype=np.float64)))
+    if pos.size == 0:
+        return []
+    while True:
+        breaks = np.flatnonzero(np.diff(pos) > gap)
+        if breaks.size <= max_panels - 1:
+            break
+        gap *= 2
+    segments = []
+    lo = pos[0]
+    for b in breaks:
+        segments.append((max(0.0, lo - pad), pos[b] + pad))
+        lo = pos[b + 1]
+    segments.append((max(0.0, lo - pad), pos[-1] + pad))
+    return segments
+
+
+def _panel_kde(ax, values, lo, hi, color, style):
+    """One KDE curve clipped to [lo, hi] (bw_adjust=0.5-style narrow
+    bandwidth, matching the reference's seaborn settings)."""
+    values = np.asarray(values, dtype=np.float64)
+    values = values[(values >= lo) & (values <= hi)]
+    if values.size < 2 or values.std() == 0:
+        if values.size:
+            ax.axvline(values[0], color=color, linestyle=style, alpha=0.7)
+        return
+    bw = 0.5 * 1.06 * values.std(ddof=1) * values.size ** (-0.2)
+    xs = np.linspace(lo, hi, 200)
+    dens = np.exp(
+        -0.5 * ((xs[:, None] - values[None, :]) / bw) ** 2
+    ).sum(axis=1) / (values.size * bw * np.sqrt(2 * np.pi))
+    ax.plot(xs, dens, color=color, linestyle=style)
+
+
+def _position_density_figure(feature, p1, p2) -> str:
+    """Per-feature input-BAM position density with discontinuity-split
+    panels (shared y, one panel per covered region)."""
+    segments = _position_segments(np.concatenate([p1, p2]))
+    # drop panels with fewer than 2 positions in both mates
+    segments = [
+        (lo, hi)
+        for lo, hi in segments
+        if ((p1 >= lo) & (p1 <= hi)).sum() > 1 or ((p2 >= lo) & (p2 <= hi)).sum() > 1
+    ] or segments[:1]
+    fig, axes = plt.subplots(
+        1, len(segments), figsize=(12, 6), sharey=True, squeeze=False
+    )
+    axes = axes[0]
+    for ax, (lo, hi) in zip(axes, segments):
+        _panel_kde(ax, p1, lo, hi, "tab:blue", "--")
+        if p2.size:
+            _panel_kde(ax, p2, lo, hi, "tab:red", "-")
+        ax.set_xlim(lo, hi)
+    axes[-1].legend(
+        handles=[
+            plt.Line2D([], [], color="tab:blue", linestyle="--", label="r1_POS"),
+            plt.Line2D([], [], color="tab:red", linestyle="-", label="r2_POS"),
+        ],
+        loc="upper right",
+    )
+    fig.suptitle(f"Position Density: {feature}")
+    fig.supxlabel("Input-BAM position")
+    fig.supylabel("Density")
+    return _b64(fig)
+
+
 def _bar_image(categories, counts, title, xlabel, ylabel) -> str:
     fig, ax = plt.subplots(figsize=(8, 6))
     ax.bar(categories, counts)
@@ -345,14 +419,9 @@ def generate_feature_page(cols, row_idx: List[int], feature: str) -> str:
     p1 = numeric("r1_POS")
     p2 = numeric("r2_POS")
     if p1 is not None and p1.size and p1.max() >= 0:
-        fig, ax = plt.subplots(figsize=(12, 6))
-        ax.hist(p1[p1 >= 0], bins=60, alpha=0.5, label="r1_POS", density=True)
-        if p2 is not None and (p2 >= 0).any():
-            ax.hist(p2[p2 >= 0], bins=60, alpha=0.5, label="r2_POS", density=True)
-        ax.set_title(f"Position Density: {feature}")
-        ax.set_xlabel("Input-BAM position")
-        ax.legend()
-        position_density_image = _b64(fig)
+        p1 = p1[p1 >= 0]
+        p2 = p2[p2 >= 0] if p2 is not None else np.empty(0)
+        position_density_image = _position_density_figure(feature, p1, p2)
 
     score_violin_image = None
     s1 = numeric("r1_forward_score")

@@ -169,10 +169,17 @@ def report(
     summarize_columns_list: Optional[Sequence[str]] = None,
     threshold: float = 0.05,
     disable_thresholding: bool = False,
+    engine: str = "host",
+    dist_shards: int = 0,
 ) -> None:
-    """The `report` subcommand (reference: __main__.py:254-297)."""
-    from nimble_tpu.quant.exact import report_rows
+    """The `report` subcommand (reference: __main__.py:254-297).
 
+    engine selects the UMI pipeline: "host" is the exact float64 reference
+    path (the bit-exactness oracle), "device" runs it as XLA segment ops on
+    the accelerator (quant/device.py), "distributed" additionally shards
+    over a dist_shards-way data mesh with a cb-bucket all-to-all
+    (parallel/dist.py). The reference has no equivalent — its report path
+    is single-threaded pandas (reference: __main__.py:254-297)."""
     cols = read_alignment_tsv(input)
     if cols is None:
         write_empty_counts(output)
@@ -183,7 +190,20 @@ def report(
         write_empty_counts(output)
         return
 
-    counts, dropped = report_rows(rows, threshold, disable_thresholding)
+    if engine == "distributed":
+        from nimble_tpu.quant.device import report_distributed_rows
+
+        counts, dropped = report_distributed_rows(
+            rows, max(1, dist_shards), threshold, disable_thresholding
+        )
+    elif engine == "device":
+        from nimble_tpu.quant.device import report_device_rows
+
+        counts, dropped = report_device_rows(rows, threshold, disable_thresholding)
+    else:
+        from nimble_tpu.quant.exact import report_rows
+
+        counts, dropped = report_rows(rows, threshold, disable_thresholding)
     print(f"Dropped {dropped} UMIs due to empty intersections")
     write_counts(output, counts)
 

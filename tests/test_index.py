@@ -125,6 +125,38 @@ def test_hamming1_expansion():
     assert idx.lookup_np(hi, lo)[0] == -1
 
 
+def test_hamming2_expansion():
+    """num_mismatches=2: double-substitution variants hit, triples miss
+    (VERDICT round 1, item 9; reference contract: nimble/types.py:14)."""
+    s = "ACGTACGTACGTACG"
+    k = 15
+    idx = build_index(make_data([s]), Config(num_mismatches=2), k=k)
+    code, valid = seqmod.kmer_codes_u64(seqmod.encode(s), k)
+    assert valid.all()
+    v1 = code[0] ^ np.uint64(0b11 << 6)
+    v2 = v1 ^ np.uint64(0b01 << 12)
+    v3 = v2 ^ np.uint64(0b10 << 20)
+    for q, expect_hit in ((code[0], True), (v1, True), (v2, True), (v3, False)):
+        hi = np.array([q >> np.uint64(32)], dtype=np.uint32)
+        lo = np.array([q & np.uint64(0xFFFFFFFF)], dtype=np.uint32)
+        got = idx.lookup_np(hi, lo)[0]
+        assert (got >= 0) == expect_hit, hex(int(q))
+    # mismatch expansion disables group entries
+    assert not idx.has_pairs
+
+
+def test_num_mismatches_contract_errors(monkeypatch):
+    s = "ACGTACGTACGTACGTACGT"
+    with pytest.raises(ValueError, match="num_mismatches=3"):
+        build_index(make_data([s]), Config(num_mismatches=3), k=15)
+    # the Hamming-2 size guard fails loudly, before allocation
+    import nimble_tpu.index.builder as B
+
+    monkeypatch.setattr(B, "HAMMING2_MAX_ENTRIES", 100)
+    with pytest.raises(ValueError, match="index entries"):
+        build_index(make_data([s]), Config(num_mismatches=2), k=15)
+
+
 def test_hash_np_jnp_parity():
     rng = np.random.default_rng(3)
     hi = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
@@ -290,15 +322,18 @@ def test_build_index_for_library_cache(tmp_path, monkeypatch):
 
 
 def test_group_entries_match_bruteforce_oracle():
-    """Group-probe entries: one per distinct canonical (k+1)-mer, each
+    """Group-probe entries: one per distinct canonical (k+g-1)-mer, each
     window's class id equal to the k-mer table's own lookup."""
+    from nimble_tpu.index.builder import _group_g
+
     rng = np.random.default_rng(3)
     base = rand_seq(rng, 400)
     seqs = [base[:250], base[150:400], rand_seq(rng, 300)]
     k = 15
     idx = build_index(make_data(seqs), Config(), k=k)
-    assert idx.has_pairs and idx.pair_g == 2
-    g, kg = idx.pair_g, k + 1
+    assert idx.has_pairs and idx.pair_g == _group_g()
+    g = idx.pair_g
+    kg = k + g - 1
 
     # oracle: distinct canonical (k+1)-mers over the library
     all_pairs = set()
@@ -340,6 +375,6 @@ def test_group_entries_match_bruteforce_oracle():
         p = _os.path.join(d, "x.npz")
         idx.save(p)
         idx2 = type(idx).load(p)
-        assert idx2.pair_g == 2
+        assert idx2.pair_g == g
         np.testing.assert_array_equal(idx2.pair_hi, idx.pair_hi)
         np.testing.assert_array_equal(idx2.pair_vals, idx.pair_vals)

@@ -1,6 +1,7 @@
 """Tests for the HTML QC report and the legacy bulk-report filter chain."""
 import json
 import os
+import numpy as np
 
 import pytest
 
@@ -135,3 +136,45 @@ class TestLegacy:
     def test_unknown_filter_raises(self):
         with pytest.raises(ValueError):
             apply_filters([], ["nope"], [1])
+
+
+class TestPositionDensity:
+    def test_segments_split_on_discontinuities(self):
+        from nimble_tpu.report.plots import _position_segments
+
+        pos = np.concatenate([
+            np.arange(1000, 2000, 10),
+            np.arange(900_000, 901_000, 10),
+        ])
+        segs = _position_segments(pos)
+        assert len(segs) == 2
+        assert segs[0][0] == 0 and segs[0][1] >= 1990
+        assert segs[1][0] <= 900_000 and segs[1][1] >= 900_990
+
+    def test_segments_gap_doubles_to_cap_panels(self):
+        from nimble_tpu.report.plots import _position_segments
+
+        # 10 clusters 200k apart would exceed 5 panels at the base gap
+        pos = np.concatenate([np.arange(i * 200_000, i * 200_000 + 100, 10)
+                              for i in range(10)])
+        segs = _position_segments(pos)
+        assert 1 <= len(segs) <= 5
+
+    def test_single_region_one_panel(self):
+        from nimble_tpu.report.plots import _position_segments
+
+        segs = _position_segments(np.arange(0, 5000, 7))
+        assert len(segs) == 1
+
+    def test_feature_page_renders_split_panels(self, tmp_path):
+        tsv = str(tmp_path / "pos.tsv")
+        rows = []
+        for i in range(20):
+            rows.append(tsv_row("A", 100, "cell1", f"U{i}",
+                                pos1=1000 + i * 13, pos2=800_000 + i * 17))
+        make_tsv(tsv, rows)
+        out = str(tmp_path / "report.html")
+        plot_command(tsv, out)
+        html = open(out).read()
+        assert "Report for Feature A" in html
+        assert html.count("data:image/png;base64,") >= 5
