@@ -167,6 +167,70 @@ class BarcodeCorrector:
         return out
 
 
+def _process_pair_chunk(c1, c2, corrector, cb_length: int, umi_length: int):
+    """One FASTQ chunk pair -> (encoded BAM record bytes, stats delta).
+
+    Pure function of its inputs, so chunks can run on worker threads while
+    the main thread writes blobs in order (the numpy correction and BGZF
+    compression release the GIL)."""
+    from nimble_tpu.io.bam import BamRecord, _encode_record
+
+    stats: Dict[str, int] = defaultdict(int)
+    barcode_length = cb_length + umi_length
+    nrec = min(len(c1), len(c2))
+    stats["total_pairs"] = nrec
+
+    keep: List[int] = []
+    names: List[str] = []
+    for i in range(nrec):
+        n1 = c1.names[i].decode()
+        n2 = c2.names[i].decode()
+        n1 = n1[:-2] if n1.endswith("/1") else n1
+        n2 = n2[:-2] if n2.endswith("/2") else n2
+        if n1 != n2:
+            stats["name_mismatch"] += 1
+            continue
+        if len(c1.seqs[i]) < barcode_length:
+            stats["too_short"] += 1
+            continue
+        if len(c1.seqs[i]) == barcode_length:
+            stats["no_remaining_seq"] += 1
+            continue
+        keep.append(i)
+        names.append(n1)
+    if not keep:
+        return b"", stats
+
+    cb_codes = np.full((len(keep), cb_length), seqmod.N_CODE, dtype=np.int8)
+    cb_quals = np.zeros((len(keep), cb_length), dtype=np.uint8)
+    for row, i in enumerate(keep):
+        cb_codes[row] = seqmod.encode(c1.seqs[i][:cb_length])
+        q = c1.quals[i][:cb_length]
+        cb_quals[row, : len(q)] = np.frombuffer(q, dtype=np.uint8) - 33
+
+    corrected = corrector.correct_chunk(cb_codes, cb_quals, stats)
+
+    blobs: List[bytes] = []
+    for row, i in enumerate(keep):
+        cb = corrected[row]
+        if cb is None:
+            continue
+        umi = c1.seqs[i][cb_length:barcode_length].decode()
+        r1_seq = c1.seqs[i][barcode_length:].decode()
+        r1_qual = bytes(b - 33 for b in c1.quals[i][barcode_length:])
+        r2_seq = c2.seqs[i].decode()
+        r2_qual = bytes(b - 33 for b in c2.quals[i])
+        tags = {"CB": cb, "UB": umi}
+        blobs.append(
+            _encode_record(BamRecord(names[row], 77, r1_seq, r1_qual, tags=dict(tags)))
+        )
+        blobs.append(
+            _encode_record(BamRecord(names[row], 141, r2_seq, r2_qual, tags=dict(tags)))
+        )
+        stats["written_pairs"] += 1
+    return b"".join(blobs), stats
+
+
 def fastq_to_bam_with_barcodes(
     r1_fastq: str,
     r2_fastq: str,
@@ -178,14 +242,19 @@ def fastq_to_bam_with_barcodes(
 ) -> None:
     """The fastq-to-bam subcommand (reference: fastq_barcode_processor.py:
     212-320): paired 10x FASTQ -> unaligned BAM with corrected CB + raw UB
-    tags, flags 77/141, SO:queryname header."""
-    from nimble_tpu.io.bam import BamRecord, BamWriter
+    tags, flags 77/141, SO:queryname header.
+
+    num_cores > 1 parallelizes per-chunk (parse + correct + record
+    encoding) on worker threads; the main thread writes the encoded blobs
+    in input order, so the output is byte-identical at any core count
+    (the reference's analog: a ThreadPoolExecutor over pairs,
+    fastq_barcode_processor.py:254-277)."""
+    from nimble_tpu.io.bam import BamWriter
 
     print("Loading cell barcode whitelist...")
     wl = load_whitelist(cb_whitelist_file, cb_length)
     corrector = BarcodeCorrector(wl)
     stats: Dict[str, int] = defaultdict(int)
-    barcode_length = cb_length + umi_length
 
     header_text = (
         "@HD\tVN:1.6\tSO:queryname\n"
@@ -195,69 +264,46 @@ def fastq_to_bam_with_barcodes(
 
     print(f"Processing paired FASTQ files...")
     writer = BamWriter(output_bam, header_text)
-    try:
+
+    def chunk_pairs():
         r1_iter = iter_fastq_chunks(r1_fastq, 1 << 15)
         r2_iter = iter_fastq_chunks(r2_fastq, 1 << 15)
         for c1 in r1_iter:
             c2 = next(r2_iter, None)
             if c2 is None:
                 break
-            nrec = min(len(c1), len(c2))
-            stats["total_pairs"] += nrec
+            yield c1, c2
 
-            # vectorized CB/qual extraction over the chunk
-            keep: List[int] = []
-            names: List[str] = []
-            for i in range(nrec):
-                n1 = c1.names[i].decode()
-                n2 = c2.names[i].decode()
-                n1 = n1[:-2] if n1.endswith("/1") else n1
-                n2 = n2[:-2] if n2.endswith("/2") else n2
-                if n1 != n2:
-                    stats["name_mismatch"] += 1
-                    continue
-                if len(c1.seqs[i]) < barcode_length:
-                    stats["too_short"] += 1
-                    continue
-                if len(c1.seqs[i]) == barcode_length:
-                    stats["no_remaining_seq"] += 1
-                    continue
-                keep.append(i)
-                names.append(n1)
-            if not keep:
-                continue
+    def consume(blob: bytes, delta: Dict[str, int]):
+        writer.write_encoded(blob)
+        before = stats["total_pairs"]
+        for key, v in delta.items():
+            stats[key] += v
+        if stats["total_pairs"] // 1_000_000 > before // 1_000_000:
+            print(f"Processed {stats['total_pairs']} read pairs...")
 
-            cb_codes = np.full((len(keep), cb_length), seqmod.N_CODE, dtype=np.int8)
-            cb_quals = np.zeros((len(keep), cb_length), dtype=np.uint8)
-            for row, i in enumerate(keep):
-                cb_codes[row] = seqmod.encode(c1.seqs[i][:cb_length])
-                q = c1.quals[i][:cb_length]
-                cb_quals[row, : len(q)] = np.frombuffer(q, dtype=np.uint8) - 33
+    try:
+        if num_cores <= 1:
+            for c1, c2 in chunk_pairs():
+                consume(*_process_pair_chunk(c1, c2, corrector, cb_length, umi_length))
+        else:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
 
-            corrected = corrector.correct_chunk(cb_codes, cb_quals, stats)
-
-            for row, i in enumerate(keep):
-                cb = corrected[row]
-                if cb is None:
-                    continue
-                umi = c1.seqs[i][cb_length:barcode_length].decode()
-                r1_seq = c1.seqs[i][barcode_length:].decode()
-                r1_qual = bytes(
-                    b - 33 for b in c1.quals[i][barcode_length:]
-                )
-                r2_seq = c2.seqs[i].decode()
-                r2_qual = bytes(b - 33 for b in c2.quals[i])
-                tags = {"CB": cb, "UB": umi}
-                writer.write(
-                    BamRecord(names[row], 77, r1_seq, r1_qual, tags=dict(tags))
-                )
-                writer.write(
-                    BamRecord(names[row], 141, r2_seq, r2_qual, tags=dict(tags))
-                )
-                stats["written_pairs"] += 1
-
-            if stats["total_pairs"] % 1_000_000 < nrec:
-                print(f"Processed {stats['total_pairs']} read pairs...")
+            with ThreadPoolExecutor(max_workers=num_cores) as pool:
+                inflight = deque()
+                for c1, c2 in chunk_pairs():
+                    inflight.append(
+                        pool.submit(
+                            _process_pair_chunk, c1, c2, corrector,
+                            cb_length, umi_length,
+                        )
+                    )
+                    # bounded pipeline: blobs drain in submission order
+                    while len(inflight) > num_cores + 2:
+                        consume(*inflight.popleft().result())
+                while inflight:
+                    consume(*inflight.popleft().result())
     finally:
         writer.close()
 

@@ -175,6 +175,11 @@ class BamWriter:
     def write(self, rec: BamRecord) -> None:
         self._w.write(_encode_record(rec))
 
+    def write_encoded(self, blob: bytes) -> None:
+        """Append pre-encoded record bytes (from _encode_record), e.g.
+        serialized by worker threads."""
+        self._w.write(blob)
+
     def close(self) -> None:
         self._w.close()
 
