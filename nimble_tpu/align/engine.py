@@ -250,7 +250,6 @@ def _build_group_tables(index: KmerIndex, bits_of):
     W = index.bitset_words
     hi = index.pair_hi
     lo = index.pair_lo
-    vals = index.pair_vals
     n = hi.shape[0]
     if n == 0 or g > 8:
         return None
@@ -260,20 +259,7 @@ def _build_group_tables(index: KmerIndex, bits_of):
         return None
     nb2, b, s, keys, skeys = placement
 
-    def and_mask(cols):  # cols: (n, g) class ids -> (and_bits (n,W), mask (n,))
-        acc = np.full((n, W), -1, dtype=np.int32)
-        mask = np.zeros(n, dtype=np.int32)
-        for i in range(cols.shape[1]):
-            present = cols[:, i] >= 0
-            cbits = bits_of(cols[:, i])
-            acc[present] &= cbits[present]
-            mask |= present.astype(np.int32) << i
-        return acc, mask
-
-    vs_and, vs_mask = and_mask(vals[:, :g])
-    vd_and, vd_mask = and_mask(vals[:, g:])
-    rev = lambda m: sum(((m >> i) & 1) << (g - 1 - i) for i in range(g))
-    mask_word = vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
+    vs_and, vd_and, mask_word = _group_entry_payload(index, bits_of)
 
     S = MONO_SLOTS
     table = np.zeros((nb2, S * entry), dtype=np.int32)
@@ -308,6 +294,34 @@ def _build_group_tables(index: KmerIndex, bits_of):
         "group_stash_vd_and": jnp.asarray(gs["vd_and"]),
         "group_stash_mask": jnp.asarray(gs["mask"]),
     }
+
+
+def _group_entry_payload(index: KmerIndex, bits_of):
+    """Per pair-entry group payload: (vs_and, vd_and, mask_word) as described
+    in _build_group_tables — the g windows' class bitsets pre-ANDed per
+    orientation plus the packed 4x g-bit presence mask. Shared by the
+    single-library group table and the stacked multi-library one
+    (align/stacked.build_stacked_group_tables)."""
+    g = index.pair_g
+    W = index.bitset_words
+    vals = index.pair_vals
+    n = index.pair_hi.shape[0]
+
+    def and_mask(cols):  # cols: (n, g) class ids -> (and_bits (n,W), mask (n,))
+        acc = np.full((n, W), -1, dtype=np.int32)
+        mask = np.zeros(n, dtype=np.int32)
+        for i in range(cols.shape[1]):
+            present = cols[:, i] >= 0
+            cbits = bits_of(cols[:, i])
+            acc[present] &= cbits[present]
+            mask |= present.astype(np.int32) << i
+        return acc, mask
+
+    vs_and, vs_mask = and_mask(vals[:, :g])
+    vd_and, vd_mask = and_mask(vals[:, g:])
+    rev = lambda m: sum(((m >> i) & 1) << (g - 1 - i) for i in range(g))
+    mask_word = vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
+    return vs_and, vd_and, mask_word
 
 
 def _single_hash_placement(hi: np.ndarray, lo: np.ndarray, entry_words: int, slots: int):
@@ -772,30 +786,36 @@ def _score_mate_group(codes, lens, tables, p: "AlignParams"):
     and_f, mask_f, and_r, mask_r = group_probe(*cat, tables, W, g)
     Q = cat[0].shape[1] - 1
 
-    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
-
-    def win_matched(mask):
-        # per-window matched bools in window coordinates: unpack the g-bit
-        # probe masks (probe q answers windows g*q .. g*q+g-1), then OR in
-        # the tail probe's windows at jstar + i via one-hot compares
-        planes = [((mask[:, :Q] >> i) & 1).astype(bool) for i in range(g)]
-        m = jnp.stack(planes, axis=2).reshape(B, Q * g)
-        if Q * g < P:
-            m = jnp.pad(m, ((0, 0), (0, P - Q * g)))
-        tmask = mask[:, Q]
-        for i in range(g):
-            tm = ((tmask >> i) & 1).astype(bool)  # (B,)
-            m = m | ((pos == (jstar + i)[:, None]) & tm[:, None])
-        return m
-
-    score_f = coverage_score(win_matched(mask_f), lens, p.k, L, 1)
-    score_r = coverage_score(win_matched(mask_r), lens, p.k, L, 1)
+    score_f = coverage_score(
+        group_win_matched(mask_f, Q, g, P, jstar), lens, p.k, L, 1
+    )
+    score_r = coverage_score(
+        group_win_matched(mask_r, Q, g, P, jstar), lens, p.k, L, 1
+    )
     # the AND-intersection is order-independent and each probe's windows are
     # pre-ANDed: feed the (B, Q+1, W) probe planes directly (grid + tail,
     # duplicated windows idempotent), gated on the probe's presence mask
     return _select_orientation(
         and_f, and_r, mask_f != 0, mask_r != 0, score_f, score_r, p
     )
+
+
+def group_win_matched(mask, Q: int, g: int, P: int, jstar):
+    """Per-window matched bools (B, P) in window coordinates from group-probe
+    masks (B, Q+1): unpack the g-bit grid masks (probe q answers windows
+    g*q .. g*q+g-1), then OR in the tail probe's windows at jstar + i via
+    one-hot compares."""
+    B = mask.shape[0]
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    planes = [((mask[:, :Q] >> i) & 1).astype(bool) for i in range(g)]
+    m = jnp.stack(planes, axis=2).reshape(B, Q * g)
+    if Q * g < P:
+        m = jnp.pad(m, ((0, 0), (0, P - Q * g)))
+    tmask = mask[:, Q]
+    for i in range(g):
+        tm = ((tmask >> i) & 1).astype(bool)  # (B,)
+        m = m | ((pos == (jstar + i)[:, None]) & tm[:, None])
+    return m
 
 
 def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stride: int = 1):

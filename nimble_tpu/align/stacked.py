@@ -17,6 +17,12 @@ B's standalone engine.
 
 Stacking requirements (validated by StackedEngine.compatible): equal k,
 equal kmer_stride, and combined bitset width within the mono row budget.
+
+When every library also carries group entries with the same g (the default
+index build), the stack uses the GROUP probe instead: one (k+g-1)-mer row
+gather answers g windows for all libraries at once
+(build_stacked_group_tables / stacked_align_step_group) — the multi-library
+analog of the engine's 3.58M reads/s/chip single-library group path.
 """
 from __future__ import annotations
 
@@ -41,10 +47,9 @@ STACK_MAX_WORDS = 64  # up to 2048 combined (padded) feature bits
 STACK_SLOTS = 2
 
 
-def _lib_entries(index: KmerIndex) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One library's occupied canonical entries as (key u64, vs_bits, vd_bits)
-    with bits decoded from its class table ((n, W_l) int32; zero = absent
-    orientation)."""
+def _bits_of_fn(index: KmerIndex):
+    """Class-id columns -> (n, W_l) int32 bitset rows for one library
+    (zero = absent orientation)."""
     W = index.bitset_words
     cb = index.class_bits.view(np.int32)
 
@@ -53,6 +58,15 @@ def _lib_entries(index: KmerIndex) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         occ = vals >= 0
         out[occ] = cb[vals[occ]]
         return out
+
+    return bits_of
+
+
+def _lib_entries(index: KmerIndex) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One library's occupied canonical entries as (key u64, vs_bits, vd_bits)
+    with bits decoded from its class table ((n, W_l) int32; zero = absent
+    orientation)."""
+    bits_of = _bits_of_fn(index)
 
     occ = (index.table_vsame >= 0) | (index.table_vdiff >= 0)
     socc = (index.stash_vsame >= 0) | (index.stash_vdiff >= 0)
@@ -133,6 +147,220 @@ def build_stacked_tables(
         "mono_stash_vd_bits": jnp.asarray(ms_vdb),
         "seg_words": tuple(int(v) for v in offs),
     }
+
+
+def build_stacked_group_tables(indexes: Sequence[KmerIndex]) -> Optional[dict]:
+    """Merged GROUP-probe table across libraries: one row gather per
+    (k+g-1)-mer probe answers g windows for EVERY library. Like the mono
+    stack, entries are merged by canonical key and the per-slot AND-planes
+    are the concatenation of each library's segment; unlike it, window
+    presence is per-library, so each slot carries L packed mask words
+    (engine._build_group_tables layout) instead of one:
+
+      [hi x S | lo x S | vs_and (W_cat,S) | vd_and (W_cat,S) |
+       mask_lib0 x S | ... | mask_lib{L-1} x S]
+
+    A key absent from library li carries mask 0 and AND-identity bits in
+    li's segment — its windows are simply unmatched for li, exactly as in
+    li's standalone group engine. Returns None when the libraries cannot
+    stack on the group path (no/unequal pair entries, width or placement
+    budget); the caller falls back to the mono stack."""
+    if not all(ix.has_pairs for ix in indexes):
+        return None
+    gs = {ix.pair_g for ix in indexes}
+    if len(gs) != 1:
+        return None
+    g = gs.pop()
+    widths = [ix.bitset_words for ix in indexes]
+    W_cat = int(np.sum(widths))
+    L_libs = len(indexes)
+    if W_cat > STACK_MAX_WORDS:
+        return None
+    offs = np.zeros(L_libs + 1, dtype=np.int64)
+    np.cumsum(widths, out=offs[1:])
+
+    per_lib = []
+    for ix in indexes:
+        vs_and, vd_and, mask_word = E._group_entry_payload(ix, _bits_of_fn(ix))
+        keys = (ix.pair_hi.astype(np.uint64) << np.uint64(32)) | ix.pair_lo.astype(
+            np.uint64
+        )
+        per_lib.append((keys, vs_and, vd_and, mask_word))
+    all_keys = np.unique(np.concatenate([k for k, _, _, _ in per_lib]))
+    n = all_keys.shape[0]
+    if n == 0:
+        return None
+    # AND-identity in absent libraries' segments (only ever consumed gated
+    # on that library's mask word, which stays 0 there)
+    vs_cat = np.full((n, W_cat), -1, dtype=np.int32)
+    vd_cat = np.full((n, W_cat), -1, dtype=np.int32)
+    masks = np.zeros((n, L_libs), dtype=np.int32)
+    for li, (keys, vsb, vdb, mw) in enumerate(per_lib):
+        pos = np.searchsorted(all_keys, keys)
+        vs_cat[pos, offs[li] : offs[li + 1]] = vsb
+        vd_cat[pos, offs[li] : offs[li + 1]] = vdb
+        masks[pos, li] = mw
+
+    S = STACK_SLOTS
+    entry = 2 + 2 * W_cat + L_libs
+    hi = (all_keys >> np.uint64(32)).astype(np.uint32)
+    lo = (all_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    placement = E._single_hash_placement(hi, lo, entry, S)
+    if placement is None:
+        return None
+    nb2, b, s, keys_idx, skeys = placement
+
+    table = np.zeros((nb2, S * entry), dtype=np.int32)
+    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+    table[b, s] = hi[keys_idx].view(np.int32)
+    table[b, S + s] = lo[keys_idx].view(np.int32)
+    for w in range(W_cat):
+        table[b, 2 * S + w * S + s] = vs_cat[keys_idx, w]
+        table[b, 2 * S + W_cat * S + w * S + s] = vd_cat[keys_idx, w]
+    for li in range(L_libs):
+        table[b, 2 * S + 2 * W_cat * S + li * S + s] = masks[keys_idx, li]
+
+    n_stash = int(skeys.shape[0])
+    pad = max(1, n_stash)
+    st_hi = np.full(pad, -1, dtype=np.int32)  # padding rows can never match
+    st_lo = np.zeros(pad, dtype=np.int32)
+    st_vs = np.zeros((pad, W_cat), dtype=np.int32)
+    st_vd = np.zeros((pad, W_cat), dtype=np.int32)
+    st_mask = np.zeros((pad, L_libs), dtype=np.int32)
+    if n_stash:
+        st_hi[:n_stash] = hi[skeys].view(np.int32)
+        st_lo[:n_stash] = lo[skeys].view(np.int32)
+        st_vs[:n_stash] = vs_cat[skeys]
+        st_vd[:n_stash] = vd_cat[skeys]
+        st_mask[:n_stash] = masks[skeys]
+    return {
+        "sg_bucket": jnp.asarray(table),
+        "sg_stash_hi": jnp.asarray(st_hi),
+        "sg_stash_lo": jnp.asarray(st_lo),
+        "sg_stash_vs_and": jnp.asarray(st_vs),
+        "sg_stash_vd_and": jnp.asarray(st_vd),
+        "sg_stash_mask": jnp.asarray(st_mask),
+        "seg_words": tuple(int(v) for v in offs),
+        "pair_g": g,
+    }
+
+
+def stacked_group_probe(hi_i, lo_i, h1, fwd_c, valid, tables, W_cat: int, g: int):
+    """Group probe over the merged table (engine.group_probe with L mask
+    words per slot). Returns (and_f (B,Q,W_cat), mask_f (B,Q,L),
+    and_r, mask_r); masks are per-library g-bit window-presence fields in
+    forward coordinates."""
+    B, Q = hi_i.shape
+    S = STACK_SLOTS
+    L_libs = tables["sg_stash_mask"].shape[1]
+    row = tables["sg_bucket"][h1.astype(jnp.int32)]  # (B, Q, S*entry)
+    bk_hi = row[..., 0:S]
+    bk_lo = row[..., S : 2 * S]
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None])
+    sel = match[:, :, None, :]  # (B, Q, 1, S)
+    vs_and = row[..., 2 * S : 2 * S + W_cat * S].reshape(B, Q, W_cat, S)
+    vd_and = row[..., 2 * S + W_cat * S : 2 * S + 2 * W_cat * S].reshape(
+        B, Q, W_cat, S
+    )
+    vs_and = jnp.where(sel, vs_and, 0).sum(axis=3)  # (B, Q, W_cat)
+    vd_and = jnp.where(sel, vd_and, 0).sum(axis=3)
+    mrows = row[..., 2 * S + 2 * W_cat * S :].reshape(B, Q, L_libs, S)
+    mword = jnp.where(sel, mrows, 0).sum(axis=3)  # (B, Q, L)
+    n_stash = tables["sg_stash_hi"].shape[0]
+    for s in range(n_stash):
+        m = (tables["sg_stash_hi"][s] == hi_i) & (tables["sg_stash_lo"][s] == lo_i)
+        vs_and = vs_and | jnp.where(m[..., None], tables["sg_stash_vs_and"][s], 0)
+        vd_and = vd_and | jnp.where(m[..., None], tables["sg_stash_vd_and"][s], 0)
+        mword = mword | jnp.where(m[..., None], tables["sg_stash_mask"][s], 0)
+
+    gmask = jnp.int32((1 << g) - 1)
+    fc = fwd_c[..., None]
+    and_f = jnp.where(fc, vs_and, vd_and)
+    and_r = jnp.where(fc, vd_and, vs_and)
+    mask_f = jnp.where(fc, mword, mword >> 8) & gmask
+    mask_r = jnp.where(fc, mword >> 24, mword >> 16) & gmask
+    mask_f = jnp.where(valid[..., None], mask_f, 0)
+    mask_r = jnp.where(valid[..., None], mask_r, 0)
+    return and_f, mask_f, and_r, mask_r
+
+
+def _group_rows(codes, lens, tables, p0: E.AlignParams, W_cat: int, g: int):
+    """Window stage with (k+g-1)-mers + ONE merged-table probe per grid/tail
+    position (engine._score_mate_group's probe half, shared across
+    libraries). Returns (and_f, mask_f, and_r, mask_r, Q, jstar)."""
+    kg = p0.k + g - 1
+    B, L = codes.shape
+    PP = L - kg + 1
+    nb = tables["sg_bucket"].shape[0]
+    if p0.window_kernel:
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        hi_i, lo_i, h1, _h2, fwd_c, _palin, valid = kmer_keys_pallas(
+            codes, lens, kg, nb
+        )
+    else:
+        hi, lo, valid = E.kmer_hi_lo(codes, lens, kg)
+        c_hi, c_lo, fwd_c, _palin = E._canonical_keys(hi, lo, kg)
+        h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb)
+        hi_i, lo_i = E._bitcast_i32(c_hi), E._bitcast_i32(c_lo)
+        h1 = h1.astype(jnp.int32)
+
+    jstar = jnp.clip(lens - kg, 0, PP - 1)
+    onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
+    cat = []
+    for a in (hi_i, lo_i, h1, fwd_c, valid):
+        t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(axis=1, keepdims=True)
+        cat.append(jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1))
+    and_f, mask_f, and_r, mask_r = stacked_group_probe(*cat, tables, W_cat, g)
+    Q = cat[0].shape[1] - 1
+    return and_f, mask_f, and_r, mask_r, Q, jstar
+
+
+def stacked_align_step_group(
+    tables,
+    params: Sequence[E.AlignParams],
+    seg_words: Sequence[int],
+    g: int,
+    r1_codes,
+    r1_lens,
+    r2_codes=None,
+    r2_lens=None,
+) -> List[dict]:
+    """Group-probe variant of stacked_align_step: one merged probe stream,
+    per-library window masks / coverage / orientation / mate combine."""
+    W_cat = int(seg_words[-1])
+    p0 = params[0]
+    rows1 = _group_rows(r1_codes, r1_lens, tables, p0, W_cat, g)
+    rows2 = (
+        _group_rows(r2_codes, r2_lens, tables, p0, W_cat, g)
+        if r2_codes is not None
+        else None
+    )
+    L1 = r1_codes.shape[1]
+
+    outs = []
+    for li, p in enumerate(params):
+        w0, w1 = int(seg_words[li]), int(seg_words[li + 1])
+
+        def mate(rows, lens, L):
+            and_f, mask_f, and_r, mask_r, Q, jstar = rows
+            mf = mask_f[..., li]
+            mr = mask_r[..., li]
+            P = L - p.k + 1
+            sf = E.coverage_score(
+                E.group_win_matched(mf, Q, g, P, jstar), lens, p.k, L, 1
+            )
+            sr = E.coverage_score(
+                E.group_win_matched(mr, Q, g, P, jstar), lens, p.k, L, 1
+            )
+            return E._select_orientation(
+                and_f[..., w0:w1], and_r[..., w0:w1], mf != 0, mr != 0, sf, sr, p
+            )
+
+        m1 = mate(rows1, r1_lens, L1)
+        m2 = mate(rows2, r2_lens, r2_codes.shape[1]) if rows2 is not None else None
+        outs.append(E.combine_mates(p, r1_lens, m1, r2_lens, m2))
+    return outs
 
 
 def _probe_rows(codes, lens, tables, p: E.AlignParams, W_cat: int):
@@ -225,18 +453,49 @@ class StackedEngine:
         mesh=None,
         chunk_cap: Optional[int] = None,
     ):
+        import os as _os
+
         self.indexes = list(indexes)
         self.max_len = max(max_len, indexes[0].k)
         self.paired = paired
         self.mesh = mesh
-        tables = build_stacked_tables(indexes)
+
+        # group-probe stack first (one (k+g-1)-mer gather answers g windows
+        # for all libraries); same gates as AlignEngine's group mode
+        self.group_g = 0
+        tables = None
+        if (
+            all(ix.has_pairs for ix in indexes)
+            and len({ix.pair_g for ix in indexes}) == 1
+            and int(getattr(configs[0], "kmer_stride", 1)) == 1
+            and self.max_len >= indexes[0].k + indexes[0].pair_g - 1
+            and _os.environ.get("NIMBLE_TPU_NO_GROUP_PROBE", "") != "1"
+        ):
+            tables = build_stacked_group_tables(indexes)
+        if tables is not None:
+            self.group_g = tables.pop("pair_g")
+        else:
+            tables = build_stacked_tables(indexes)
         if tables is None:
             raise ValueError("libraries not stackable (width/memory budget)")
         self.seg_words = tables.pop("seg_words")
         if chunk_size is None:
             W_cat = int(self.seg_words[-1])
-            P = self.max_len - indexes[0].k + 1
-            per_read = P * STACK_SLOTS * (2 + 2 * W_cat) + 2 * P * W_cat + 10 * P
+            k = indexes[0].k
+            P = self.max_len - k + 1
+            if self.group_g:
+                g = self.group_g
+                PP = max(self.max_len - (k + g - 1) + 1, 1)
+                Q = (PP + g - 1) // g + 1
+                per_read = (
+                    Q * STACK_SLOTS * (2 + 2 * W_cat + len(indexes))
+                    + 4 * Q * W_cat
+                    + (10 * PP + 6 * P) * len(indexes)
+                )
+            else:
+                per_read = (
+                    P * STACK_SLOTS * (2 + 2 * W_cat) + 2 * P * W_cat + 10 * P
+                )
             chunk_size = E._chunk_from_per_read(per_read, paired)
             if chunk_cap is not None and chunk_cap < chunk_size:
                 chunk_size = max(1 << int(np.log2(max(chunk_cap, 1))), 1)
@@ -270,7 +529,23 @@ class StackedEngine:
         self.chunk_size = chunk_size
         params = self.params
         seg = self.seg_words
-        if paired:
+        if self.group_g:
+            g = self.group_g
+            if paired:
+                self._fn = jax.jit(
+                    lambda t, c1, l1, c2, l2: stacked_align_step_group(
+                        t, params, seg, g, c1, l1, c2, l2
+                    ),
+                    **jit_kwargs,
+                )
+            else:
+                self._fn = jax.jit(
+                    lambda t, c1, l1: stacked_align_step_group(
+                        t, params, seg, g, c1, l1
+                    ),
+                    **jit_kwargs,
+                )
+        elif paired:
             self._fn = jax.jit(
                 lambda t, c1, l1, c2, l2: stacked_align_step(
                     t, params, seg, c1, l1, c2, l2

@@ -122,12 +122,69 @@ def test_stacked_tables_merge_shared_kmers():
     assert n_placed + n_stash == len(union)
 
 
-def test_pipeline_stacked_tsvs_match_separate(tmp_path, monkeypatch):
+def test_stacked_group_path_engages():
+    """The default stack must take the GROUP probe (one (k+g-1)-mer gather
+    answers g windows for all libraries), not silently fall back to mono."""
+    rng = np.random.default_rng(11)
+    indexes, configs = make_libs(rng, 15)
+    eng = StackedEngine(indexes, configs, chunk_size=32, max_len=80)
+    assert eng.group_g == indexes[0].pair_g
+    assert "sg_bucket" in eng.tables and "mono_bucket" not in eng.tables
+
+
+def test_stacked_group_tables_merge():
+    """Merged group table: one entry per distinct canonical (k+g-1)-mer
+    across libraries; a library's mask word is nonzero only where that
+    library carries the key."""
+    from nimble_tpu.align.stacked import STACK_SLOTS, build_stacked_group_tables
+
+    rng = np.random.default_rng(5)
+    k = 15
+    shared = rand_seq(rng, 100)
+    ix1 = build_index(make_data([shared]), Config(), k=k)
+    ix2 = build_index(make_data([shared, rand_seq(rng, 80)]), Config(), k=k)
+    t = build_stacked_group_tables([ix1, ix2])
+    assert t is not None and t["pair_g"] == ix1.pair_g
+    assert t["seg_words"] == (0, 1, 2)
+
+    def keys_of(ix):
+        return set(
+            (ix.pair_hi.astype(np.uint64) << np.uint64(32))
+            | ix.pair_lo.astype(np.uint64)
+        )
+
+    union = keys_of(ix1) | keys_of(ix2)
+    S = STACK_SLOTS
+    bucket = np.asarray(t["sg_bucket"])
+    n_placed = int((bucket[:, :S] != -1).sum())
+    n_stash = int((np.asarray(t["sg_stash_hi"]) != -1).sum())
+    assert n_placed + n_stash == len(union)
+
+    # per-library masks: lib1-only keys carry mask 0 in lib0's word
+    W_cat = 2
+    only2 = keys_of(ix2) - keys_of(ix1)
+    hi = np.asarray(bucket[:, :S]).ravel()
+    lo = np.asarray(bucket[:, S : 2 * S]).ravel()
+    m0 = bucket[:, 2 * S + 2 * W_cat * S : 2 * S + 2 * W_cat * S + S].ravel()
+    m1 = bucket[:, 2 * S + 2 * W_cat * S + S :].ravel()
+    placed_keys = (hi.astype(np.uint32).astype(np.uint64) << np.uint64(32)) | lo.astype(
+        np.uint32
+    ).astype(np.uint64)
+    occ = hi != -1
+    for key, mm0, mm1 in zip(placed_keys[occ], m0[occ], m1[occ]):
+        if key in only2:
+            assert mm0 == 0 and mm1 != 0
+        elif key not in keys_of(ix2):
+            assert mm1 == 0 and mm0 != 0
+
+
+@pytest.mark.parametrize("probe", ["group", "mono"])
+def test_pipeline_stacked_tsvs_match_separate(tmp_path, monkeypatch, probe):
     """align_files over 3 libraries: stacked mode writes byte-identical TSVs
-    to the per-library engines. Group probing is pinned off: the stacked
-    tables do not carry group entries (yet), so the separate engines must
-    score with the same mono probe to be comparable."""
-    monkeypatch.setenv("NIMBLE_TPU_NO_GROUP_PROBE", "1")
+    to the per-library engines, on both probe paths (group = default; mono =
+    the NIMBLE_TPU_NO_GROUP_PROBE fallback both sides honor)."""
+    if probe == "mono":
+        monkeypatch.setenv("NIMBLE_TPU_NO_GROUP_PROBE", "1")
     from nimble_tpu.align.pipeline import align_files, append_path_string
     from nimble_tpu.config import save_library
 
