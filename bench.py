@@ -146,7 +146,10 @@ def main():
     log(f"best burst: {burst} chunks of {chunk} in {best_dt:.3f}s "
         f"(checksum {checksum})")
     result = {
-        "metric": "pseudoalign+score throughput (HLA-100 library, 100bp reads)",
+        "metric": (
+            "pseudoalign+score throughput (HLA-100 library, 100bp reads; "
+            "baseline = 1.0e6 reads/s CPU-class proxy, see BASELINE.md)"
+        ),
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),

@@ -109,8 +109,10 @@ MONO_MAX_BYTES = 2 << 30
 MONO_MAX_STASH = 64
 MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 
-# group-probe rows are S*(2 + 2*g*W) int32; cap W so the row stays in the
-# width regime where gather cost is still per-row (g=2, W=8 -> 272 bytes)
+# group-probe rows are S*(2 + 2*W + 1) int32 (the g windows' bitsets are
+# pre-ANDed at build time, so the row width is constant in g); cap W so the
+# row stays in the width regime where gather cost is still per-row
+# (W=8 -> 304 bytes at MONO_SLOTS=4)
 GROUP_MAX_WORDS = 8
 
 # auto chunk sizing: the axon relay imposes a ~5ms fixed cost per device

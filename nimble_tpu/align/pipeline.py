@@ -358,7 +358,11 @@ def align_files(
                     mesh=mesh_plan,
                     chunk_cap=batch_records,
                 )
-                log.event("stacked_engine", n_libraries=len(runners))
+                log.event(
+                    "stacked_engine",
+                    n_libraries=len(runners),
+                    group_g=stacked.group_g,
+                )
             except ValueError:
                 stacked = None
     if stacked is None:
