@@ -193,6 +193,83 @@ int64_t nt_fastq_read_batch(void *handle, int64_t max_records, int64_t max_len,
   return nrec;
 }
 
+// Parse a byte buffer of COMPLETE 4-line FASTQ records (the caller cuts the
+// stream at record boundaries by newline count). Outputs match
+// nt_fastq_read_batch. Designed for thread pools: ctypes releases the GIL
+// around the call, so chunks parse in parallel across host cores
+// (CLI `align -c`; the reference threads its whole hot path the same way,
+// reference nimble/__main__.py:180).
+// Returns records parsed, or -1 if outputs would overflow.
+int64_t nt_fastq_parse_buffer(const char *buf, int64_t buf_len,
+                              int64_t max_records, int64_t max_len,
+                              int8_t *codes, int32_t *lens, char *raw,
+                              int64_t raw_cap, int64_t *raw_offs) {
+  int64_t pos = 0;
+  int64_t nrec = 0;
+  int64_t raw_pos = 0;
+  // line() over the buffer: returns [start, end) of the next line, trimming
+  // '\r' and the '\n' terminator; end-of-buffer terminates the last line.
+  auto line = [&](int64_t *start, int64_t *len) -> bool {
+    if (pos >= buf_len) return false;
+    const char *nl =
+        (const char *)memchr(buf + pos, '\n', (size_t)(buf_len - pos));
+    int64_t end = nl ? (int64_t)(nl - buf) : buf_len;
+    int64_t e = end;
+    if (e > pos && buf[e - 1] == '\r') e--;
+    *start = pos;
+    *len = e - pos;
+    pos = end + 1;
+    return true;
+  };
+  while (nrec < max_records && pos < buf_len) {
+    int64_t hs, hlen;
+    if (!line(&hs, &hlen)) break;
+    if (hlen == 0) continue;  // tolerate stray blank lines between records
+    // header: first whitespace-delimited token after '@'
+    int64_t name_s = hs + 1;
+    int64_t name_len = hlen > 0 ? hlen - 1 : 0;
+    for (int64_t i = 0; i < name_len; i++) {
+      char c = buf[name_s + i];
+      if (c == ' ' || c == '\t') {
+        name_len = i;
+        break;
+      }
+    }
+    if (raw_pos + name_len + 1 > raw_cap) return -1;
+    raw_offs[nrec * 3 + 0] = raw_pos;
+    memcpy(raw + raw_pos, buf + name_s, (size_t)name_len);
+    raw[raw_pos + name_len] = 0;
+    raw_pos += name_len + 1;
+
+    int64_t ss, slen;
+    if (!line(&ss, &slen)) break;
+    if (raw_pos + slen + 1 > raw_cap) return -1;
+    raw_offs[nrec * 3 + 1] = raw_pos;
+    memcpy(raw + raw_pos, buf + ss, (size_t)slen);
+    raw[raw_pos + slen] = 0;
+    raw_pos += slen + 1;
+    int8_t *crow = codes + nrec * max_len;
+    int64_t m = slen < max_len ? slen : max_len;
+    for (int64_t i = 0; i < m; i++)
+      crow[i] = kLut.lut[(unsigned char)buf[ss + i]];
+    for (int64_t i = m; i < max_len; i++) crow[i] = N_CODE;
+    lens[nrec] = (int32_t)m;
+
+    int64_t ps, plen;
+    line(&ps, &plen);  // '+' separator
+    int64_t qs = 0, qlen = 0;
+    if (!line(&qs, &qlen)) qlen = 0;
+    if (raw_pos + qlen + 1 > raw_cap) return -1;
+    raw_offs[nrec * 3 + 2] = raw_pos;
+    if (qlen > 0) memcpy(raw + raw_pos, buf + qs, (size_t)qlen);
+    raw[raw_pos + qlen] = 0;
+    raw_pos += qlen + 1;
+
+    nrec++;
+  }
+  return nrec;
+}
+
 // Vectorized batch base-encoding: seqs is a packed buffer of n sequences at
 // given offsets/lengths -> codes [n, max_len] + lens [n].
 void nt_encode_batch(const char *seqs, const int64_t *offs,

@@ -109,6 +109,7 @@ def main(argv=None) -> int:
             resume=args.resume,
             trim=args.trim,
             mesh=args.mesh,
+            num_cores=args.num_cores,
         )
     if args.subcommand == "report":
         from nimble_tpu.report.tsv import report

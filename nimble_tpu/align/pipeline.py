@@ -14,6 +14,7 @@ is aligned against every library's engine before the next batch is read
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -137,8 +138,8 @@ class LibraryRunner:
     rows_written: int = 0
 
     def open(self):
-        self._file = open(self.output_path, "w")
-        self._file.write("\t".join(TSV_HEADER) + "\n")
+        self._file = open(self.output_path, "wb")
+        self._file.write(("\t".join(TSV_HEADER) + "\n").encode())
 
     def close(self):
         if self._file:
@@ -193,7 +194,7 @@ class LibraryRunner:
                 f"{features[i]}\t{score[i]}\t{cb}\t{umi}\t{cb}\t{umi}\t"
                 f"{pos1}\t{pos2}\t{f1[i]}\t{f2[i]}\t{gn}\n"
             )
-        self._file.write("".join(lines))
+        self._file.write("".join(lines).encode())
         self.rows_written += len(lines)
         return len(lines)
 
@@ -256,10 +257,19 @@ def align_files(
     resume: bool = False,
     trim: str = "",
     mesh: str = "",
+    num_cores: int = 1,
+    inflight_batches: int = 2,
 ) -> int:
     """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
     library list, one output TSV per library (reference: __main__.py:153-211).
-    Returns a process exit code.
+    Returns a process exit code (nonzero on reader/engine failure, like the
+    reference's propagated aligner exit code, reference __main__.py:439-440).
+
+    num_cores drives host-side decode parallelism (io/threaded.py): a
+    producer thread inflates + cuts the FASTQ stream and num_cores native
+    parse workers 2-bit-encode record chunks in parallel, feeding a bounded
+    prefetch queue; `inflight_batches` batches are kept dispatched to the
+    device so host IO, device compute, and host emission all overlap.
 
     mesh: multi-chip spec "data=N[,feature=M]" (or "auto" for all devices
     on the data axis) — the reference's only parallelism knob is `-c`
@@ -389,15 +399,35 @@ def align_files(
         batches_done = prog.get("batches_done", 0)
         for r in runners:
             rows_kept = prog.get("rows_written", {}).get(r.output_path, 0)
+            byte_off = prog.get("bytes_written", {}).get(r.output_path)
             if os.path.exists(r.output_path):
-                with open(r.output_path) as f:
-                    lines = f.readlines()
-                with open(r.output_path, "w") as f:
-                    f.writelines(lines[: rows_kept + 1])  # header + kept rows
+                if byte_off is not None:
+                    # O(1) truncate at the recorded checkpoint offset
+                    os.truncate(r.output_path, byte_off)
+                else:
+                    # legacy sidecar without offsets: stream to the
+                    # (rows_kept+1)-th newline, never loading the file
+                    nl_needed = rows_kept + 1
+                    off = 0
+                    with open(r.output_path, "rb") as f:
+                        while nl_needed > 0:
+                            chunk = f.read(1 << 20)
+                            if not chunk:
+                                break
+                            c = chunk.count(b"\n")
+                            if c >= nl_needed:
+                                arr = np.frombuffer(chunk, dtype=np.uint8)
+                                nls = np.flatnonzero(arr == 10)
+                                off += int(nls[nl_needed - 1]) + 1
+                                nl_needed = 0
+                            else:
+                                nl_needed -= c
+                                off += len(chunk)
+                    os.truncate(r.output_path, off)
             r.rows_written = rows_kept
         print(f"Resuming from batch {batches_done}")
         for r in runners:
-            r._file = open(r.output_path, "a")
+            r._file = open(r.output_path, "ab")
     else:
         for r in runners:
             r.open()
@@ -405,17 +435,23 @@ def align_files(
     def save_progress(done_idx):
         import json as _json
 
+        offsets = {}
+        for r in runners:
+            r._file.flush()
+            offsets[r.output_path] = r._file.tell()
         with open(progress_path, "w") as f:
             _json.dump(
                 {
                     "batches_done": done_idx + 1,
                     "rows_written": {r.output_path: r.rows_written for r in runners},
+                    "bytes_written": offsets,
                 },
                 f,
             )
 
     total = 0
     tput = Throughput(log)
+    failed = False
     try:
         if is_bam:
             from nimble_tpu.io import native
@@ -433,7 +469,23 @@ def align_files(
         else:
             from nimble_tpu.io import native
 
-            if native.available():
+            if num_cores > 1 and native.available():
+                # threaded host decode: a producer thread inflates + cuts the
+                # stream, num_cores native parse workers 2-bit-encode chunks
+                # in parallel (the GIL is released inside the ctypes call),
+                # matching the reference's `-c` whole-hot-path threading
+                # (reference: __main__.py:180)
+                from nimble_tpu.io.threaded import ThreadedFastqReader
+
+                reader = ThreadedFastqReader(
+                    inputs[0],
+                    inputs[1] if len(inputs) == 2 else None,
+                    batch_size=batch_records,
+                    max_len=max_len,
+                    num_threads=num_cores,
+                    prefetch=max(2, inflight_batches + 1),
+                )
+            elif native.available():
                 reader = native.NativeFastqReader(
                     inputs[0],
                     inputs[1] if len(inputs) == 2 else None,
@@ -451,9 +503,13 @@ def align_files(
                 )
             batches = iter(reader)
         with profile():
-            # one batch in flight: host emission of batch N overlaps the
-            # device aligning batch N+1
-            inflight = None  # (batch_idx, n, handles)
+            # up to `inflight_batches` batches dispatched ahead: JAX async
+            # dispatch queues them on the device while the host finalizes
+            # (transfers + emits) the oldest, so host IO, device compute,
+            # and TSV emission all overlap
+            from collections import deque
+
+            inflight = deque()  # (batch_idx, n, handles)
 
             def finalize(entry):
                 nonlocal total
@@ -483,19 +539,31 @@ def align_files(
                 )
                 return (pending, batch)
 
+            depth = max(1, inflight_batches)
             for batch_idx, batch in enumerate(batches):
                 if batch_idx < batches_done:
                     continue  # resume fast-forward
                 n = batch["r1_codes"].shape[0]
-                handles = submit(batch)
-                if inflight is not None:
-                    finalize(inflight)
-                inflight = (batch_idx, n, handles)
-            if inflight is not None:
-                finalize(inflight)
+                inflight.append((batch_idx, n, submit(batch)))
+                if len(inflight) > depth:
+                    finalize(inflight.popleft())
+            while inflight:
+                finalize(inflight.popleft())
+    except Exception:
+        # propagate failures as a nonzero exit code like the reference
+        # propagates the aligner's (reference: __main__.py:439-440); the
+        # .progress.json sidecar survives for `align --resume`
+        import traceback
+
+        traceback.print_exc()
+        log.event("align_failed", total=total)
+        failed = True
     finally:
         for r in runners:
             r.close()
+    if failed:
+        print(f"align FAILED after {total} read(-pair)s", file=sys.stderr)
+        return 1
     if os.path.exists(progress_path):
         os.remove(progress_path)
     stats = tput.final()

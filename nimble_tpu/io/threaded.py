@@ -1,0 +1,264 @@
+"""Threaded FASTQ ingestion: decompress -> record-boundary cut -> parallel
+native parse -> bounded prefetch queue.
+
+This is what `align -c/--num_cores` drives (the reference threads its whole
+hot path with `-c`, reference nimble/__main__.py:180; here the device does
+the alignment, so host decode is the part that must scale). Layout:
+
+  producer thread:  read/zlib-inflate byte chunks, cut at FASTQ record
+                    boundaries (every 4th newline), keep R1/R2 in lockstep
+  parse pool:       num_threads workers call nt_fastq_parse_buffer (ctypes
+                    releases the GIL; the parse+2-bit-encode loop runs truly
+                    parallel across cores)
+  consumer:         __iter__ drains a bounded queue of parsed futures and
+                    yields the same batch dicts as io.fastq.FastqReader
+
+Byte-stream identical output to the sequential readers at any thread count:
+record boundaries are derived from newline counts alone, so the batch
+partition is deterministic.
+"""
+from __future__ import annotations
+
+import ctypes
+import queue
+import threading
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from nimble_tpu.io import native as _native
+
+_CHUNK_BYTES = 8 << 20
+
+
+def _stream_chunks(path: str, chunk_bytes: int = _CHUNK_BYTES):
+    """Yield decompressed byte chunks from a plain or gzip file."""
+    gz = path.endswith(".gz")
+    with open(path, "rb") as f:
+        if not gz:
+            while True:
+                b = f.read(chunk_bytes)
+                if not b:
+                    return
+                yield b
+        else:
+            d = zlib.decompressobj(wbits=31)
+            while True:
+                raw = f.read(chunk_bytes)
+                if not raw:
+                    break
+                out = d.decompress(raw)
+                if out:
+                    yield out
+                while d.eof and d.unused_data:
+                    # multi-member gzip (e.g. bgzf-style concatenation)
+                    tail = d.unused_data
+                    d = zlib.decompressobj(wbits=31)
+                    out = d.decompress(tail)
+                    if out:
+                        yield out
+            out = d.flush()
+            if out:
+                yield out
+
+
+def _find_nth_newline(chunk: bytes, n: int) -> int:
+    """Offset of the n-th (1-based) newline in chunk."""
+    arr = np.frombuffer(chunk, dtype=np.uint8)
+    nls = np.flatnonzero(arr == 10)
+    return int(nls[n - 1])
+
+
+def _record_buffers(stream, records_per_batch: int):
+    """Cut a decompressed byte stream into buffers of exactly
+    records_per_batch FASTQ records (4 newlines each); the final buffer
+    carries the remainder and is flagged with its (possibly smaller) count
+    -1 = "count unknown, parser decides"."""
+    need_nl = 4 * records_per_batch
+    parts: list = []
+    counts: list = []
+    total_nl = 0
+    for chunk in stream:
+        parts.append(chunk)
+        c = chunk.count(b"\n")
+        counts.append(c)
+        total_nl += c
+        while total_nl >= need_nl:
+            acc = 0
+            cut_i = 0
+            for i, ci in enumerate(counts):
+                if acc + ci >= need_nl:
+                    cut_i = i
+                    break
+                acc += ci
+            pos = _find_nth_newline(parts[cut_i], need_nl - acc)
+            out = b"".join(parts[:cut_i]) + parts[cut_i][: pos + 1]
+            rest = parts[cut_i][pos + 1 :]
+            parts = ([rest] if rest else []) + parts[cut_i + 1 :]
+            rc = rest.count(b"\n") if rest else 0
+            counts = ([rc] if rest else []) + counts[cut_i + 1 :]
+            total_nl -= need_nl
+            yield out, records_per_batch
+    tail = b"".join(parts)
+    if tail.strip():
+        yield tail, -1
+
+
+def _parse_buffer(buf: bytes, n_hint: int, max_len: int, with_strings: bool):
+    """Parse one complete-records buffer via the native layer. Returns the
+    same tuple shape as NativeFastqFile.read_batch."""
+    lib = _native._load()
+    if not hasattr(lib, "_parse_bound"):
+        lib.nt_fastq_parse_buffer.restype = ctypes.c_int64
+        lib.nt_fastq_parse_buffer.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib._parse_bound = True
+    if n_hint < 0:
+        n_hint = buf.count(b"\n") // 4 + 2
+    n = max(n_hint, 1)
+    codes = np.empty((n, max_len), dtype=np.int8)
+    lens = np.empty(n, dtype=np.int32)
+    # name+seq+qual + 3 NULs per record is bounded by the buffer itself
+    raw_cap = len(buf) + 4 * n + 64
+    raw = np.empty(raw_cap, dtype=np.uint8)
+    offs = np.empty(n * 3, dtype=np.int64)
+    got = lib.nt_fastq_parse_buffer(
+        buf,
+        len(buf),
+        n,
+        max_len,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        raw.ctypes.data_as(ctypes.c_void_p),
+        raw_cap,
+        offs.ctypes.data_as(ctypes.c_void_p),
+    )
+    if got < 0:
+        raise RuntimeError("FASTQ parse buffer overflow (malformed record?)")
+    out = {"codes": codes[:got], "lens": lens[:got]}
+    if with_strings:
+        out["names"] = _native._extract_strings(raw, offs, 0, got)
+        out["seqs"] = _native._extract_strings(raw, offs, 1, got)
+        out["quals"] = _native._extract_strings(raw, offs, 2, got)
+    return out
+
+
+class ThreadedFastqReader:
+    """Parallel drop-in for io.fastq.FastqReader / io.native.NativeFastqReader.
+
+    num_threads parse workers + one producer thread; at most `prefetch`
+    parsed batches buffered ahead of the consumer.
+    """
+
+    def __init__(
+        self,
+        r1_path: str,
+        r2_path: Optional[str] = None,
+        batch_size: int = 1 << 17,
+        max_len: int = 256,
+        num_threads: int = 2,
+        prefetch: int = 3,
+        with_strings: bool = False,
+    ):
+        if not _native.available():
+            raise RuntimeError("native library unavailable")
+        self.r1_path = r1_path
+        self.r2_path = r2_path
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self.with_strings = with_strings
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                g1 = _record_buffers(
+                    _stream_chunks(self.r1_path), self.batch_size
+                )
+                g2 = (
+                    _record_buffers(_stream_chunks(self.r2_path), self.batch_size)
+                    if self.r2_path
+                    else None
+                )
+                for buf1, n1 in g1:
+                    f1 = pool.submit(
+                        _parse_buffer, buf1, n1, self.max_len, self.with_strings
+                    )
+                    f2 = None
+                    if g2 is not None:
+                        try:
+                            buf2, n2 = next(g2)
+                        except StopIteration:
+                            raise ValueError(
+                                "paired FASTQ files have different record counts"
+                            )
+                        f2 = pool.submit(
+                            _parse_buffer, buf2, n2, self.max_len, self.with_strings
+                        )
+                    while not stop.is_set():
+                        try:
+                            q.put((f1, f2), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                if g2 is not None:
+                    try:
+                        next(g2)
+                        raise ValueError(
+                            "paired FASTQ files have different record counts"
+                        )
+                    except StopIteration:
+                        pass
+                q.put(None)
+            except BaseException as e:  # surface reader errors to the consumer
+                q.put(e)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                f1, f2 = item
+                b1 = f1.result()
+                batch = {"r1_codes": b1["codes"], "r1_lens": b1["lens"]}
+                if self.with_strings:
+                    batch["names"] = b1["names"]
+                    batch["r1_seqs"] = b1["seqs"]
+                    batch["r1_quals"] = b1["quals"]
+                if f2 is not None:
+                    b2 = f2.result()
+                    if b2["codes"].shape[0] != b1["codes"].shape[0]:
+                        raise ValueError(
+                            "paired FASTQ files have different record counts"
+                        )
+                    batch["r2_codes"] = b2["codes"]
+                    batch["r2_lens"] = b2["lens"]
+                    if self.with_strings:
+                        batch["r2_seqs"] = b2["seqs"]
+                        batch["r2_quals"] = b2["quals"]
+                yield batch
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
