@@ -103,22 +103,40 @@ def main():
     index, config, codes, lens = build_workload()
     engine = AlignEngine(index, config, chunk_size=CHUNK, max_len=READ_LEN)
     chunk = engine.chunk_size
-    log(f"chunk size: {chunk} (auto)" if CHUNK is None else f"chunk size: {chunk}")
-    if codes.shape[0] < chunk:
-        reps = -(-chunk // codes.shape[0])
-        codes = np.tile(codes, (reps, 1))[:chunk]
-        lens = np.tile(lens, reps)[:chunk]
+    S = engine.scan_chunks
+    span = S * chunk
+    log(
+        (f"chunk size: {chunk} (auto)" if CHUNK is None else f"chunk size: {chunk}")
+        + f"; scan_chunks: {S}"
+    )
+    if codes.shape[0] < span:
+        reps = -(-span // codes.shape[0])
+        codes = np.tile(codes, (reps, 1))[:span]
+        lens = np.tile(lens, reps)[:span]
 
     # warmup / compile on device-resident inputs (compiling against host
     # numpy inputs first can pin an executable whose input layouts force a
-    # per-call relayout of device arrays afterwards)
-    c_dev = jax.device_put(codes[:chunk])
-    l_dev = jax.device_put(lens[:chunk])
+    # per-call relayout of device arrays afterwards). The measured program
+    # is the scanned multi-chunk dispatch — the CLI's own operating point
+    # (align_batch_async dispatches scan_chunks chunks per device call).
+    from nimble_tpu.align.engine import PACKED_SCALARS, unpack_outputs
+
+    if S > 1:
+        c_dev = jax.device_put(codes[:span].reshape(S, chunk, -1))
+        l_dev = jax.device_put(lens[:span].reshape(S, chunk))
+        fn = engine._scan_fn
+    else:
+        c_dev = jax.device_put(codes[:chunk])
+        l_dev = jax.device_put(lens[:chunk])
+        fn = engine._fn_packed
     t0 = time.time()
-    r = engine._fn(engine.tables, c_dev, l_dev)
+    r = fn(engine.tables, c_dev, l_dev)
     jax.block_until_ready(r)
-    log(f"compile+first chunk: {time.time() - t0:.2f}s; "
-        f"pass rate {np.asarray(jnp_reshape_flat(r['pass_'])).mean():.3f}")
+    first = np.asarray(r)
+    W = first.size // span - len(PACKED_SCALARS)
+    pass_rate = unpack_outputs(first, W, span)["pass_"].mean()
+    log(f"compile+first call ({span} reads): {time.time() - t0:.2f}s; "
+        f"pass rate {pass_rate:.3f}")
 
     # measurement forces a result-dependent device reduction + host transfer:
     # block_until_ready alone does not reliably wait for execution through
@@ -128,7 +146,7 @@ def main():
     # speed-of-light estimate for this program on this chip.
     import jax.numpy as jnp
 
-    burst = 4
+    burst = 2
     rounds = 24
     best_dt = float("inf")
     checksum = 0
@@ -136,14 +154,14 @@ def main():
         t0 = time.time()
         acc = None
         for _ in range(burst):
-            score = engine._fn(engine.tables, c_dev, l_dev)["score"]
-            acc = score if acc is None else acc + score
-        checksum = int(jnp.sum(acc))
+            packed = fn(engine.tables, c_dev, l_dev)
+            acc = packed if acc is None else acc + packed
+        checksum = int(jnp.sum(acc.astype(jnp.int64) & 0xFFFF))
         dt = time.time() - t0
         best_dt = min(best_dt, dt)
-    reads_per_s = burst * chunk / best_dt
+    reads_per_s = burst * span / best_dt
 
-    log(f"best burst: {burst} chunks of {chunk} in {best_dt:.3f}s "
+    log(f"best burst: {burst} calls x {span} reads in {best_dt:.3f}s "
         f"(checksum {checksum})")
     result = {
         "metric": (

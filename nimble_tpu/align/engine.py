@@ -124,6 +124,10 @@ GROUP_MAX_WORDS = 8
 AUTO_CHUNK_BUDGET = 1 << 30
 AUTO_CHUNK_MIN = 1 << 10
 AUTO_CHUNK_MAX = 1 << 17
+# chunks per scanned dispatch on TPU (see AlignEngine.__init__): at the
+# 65536-read operating point, S=8 amortizes the ~6ms relay call floor from
+# 18.8ms/chunk to ~13.9ms/chunk (scripts/ablate_r3b.py)
+SCAN_CHUNKS_DEFAULT = 8
 
 
 def _chunk_from_per_read(per_read_i32: int, paired: bool) -> int:
@@ -440,6 +444,30 @@ def _build_mono_tables(index: KmerIndex, bits_of):
 
 def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+PACKED_SCALARS = ("score", "r1_fwd", "r1_rev", "r2_fwd", "r2_rev", "pass_")
+
+
+def pack_outputs(out: dict) -> jnp.ndarray:
+    """align_step outputs -> ONE flat int32 array (row-major (B, W+6):
+    bits | score | r1_fwd | r1_rev | r2_fwd | r2_rev | pass_). Transfers
+    through the device relay have a large fixed per-array cost, so the
+    dispatch path ships a single array per call (unpack: unpack_outputs)."""
+    cols = [out["bits"]] + [
+        out[k].astype(jnp.int32)[:, None] for k in PACKED_SCALARS
+    ]
+    return jnp.concatenate(cols, axis=1).reshape(-1)
+
+
+def unpack_outputs(flat: np.ndarray, W: int, valid: int) -> dict:
+    """Host-side inverse of pack_outputs, sliced to the valid row count."""
+    arr = flat.reshape(-1, W + len(PACKED_SCALARS))[:valid]
+    out = {"bits": arr[:, :W]}
+    for i, k in enumerate(PACKED_SCALARS):
+        col = arr[:, W + i]
+        out[k] = col.astype(bool) if k == "pass_" else col
+    return out
 
 
 def _to_host(v) -> np.ndarray:
@@ -1077,6 +1105,7 @@ class AlignEngine:
         mesh=None,
         group_probe: Optional[bool] = None,
         chunk_cap: Optional[int] = None,
+        scan_chunks: Optional[int] = None,
     ):
         self.index = index
         self.config = config
@@ -1152,6 +1181,40 @@ class AlignEngine:
             self._fn = jax.jit(
                 lambda t, c1, l1: align_step(t, p, c1, l1), **jit_kwargs
             )
+        # dispatch path: outputs packed into ONE flat int32 array — each
+        # device->host transfer costs ~62 ms through the relay regardless of
+        # size (profiled: jax Array._value), so 7 per-key transfers per call
+        # would cap the whole pipeline at ~250k reads/s
+        self._fn_packed = jax.jit(
+            lambda t, *xs: pack_outputs(align_step(t, p, *xs)), **jit_kwargs
+        )
+
+        # scanned multi-chunk dispatch: the device relay has a measured
+        # ~6 ms fixed cost per Execute call (scripts/ablate_r3b.py: a
+        # trivial jitted reduction takes 6.1 ms) that single-chunk calls
+        # cannot amortize; lax.scan over S stacked chunks runs S chunks in
+        # ONE call while transients stay at one-chunk size (unlike a flat
+        # S*chunk batch, whose device rate degrades: scripts/chunkscale3.py)
+        self.scan_chunks = 1
+        if scan_chunks is not None:
+            self.scan_chunks = max(1, int(scan_chunks))
+        elif mesh is None:
+            try:
+                if jax.default_backend() == "tpu":
+                    self.scan_chunks = SCAN_CHUNKS_DEFAULT
+            except Exception:
+                pass
+        self._scan_fn = None
+        if self.scan_chunks > 1:
+
+            def scan_step(t, *stacked):
+                def body(carry, xs):
+                    return carry, pack_outputs(align_step(t, p, *xs))
+
+                _, outs = jax.lax.scan(body, None, stacked)
+                return outs.reshape(-1)
+
+            self._scan_fn = jax.jit(scan_step)
 
     def _pad(self, arr, n, fill):
         if arr.shape[0] == n:
@@ -1167,9 +1230,35 @@ class AlignEngine:
         r2_lens: Optional[np.ndarray] = None,
     ):
         """Dispatch a host batch to the device (no wait). Returns a list of
-        (device outputs dict, valid length) chunks for collect_async."""
+        (packed device array, valid length) entries for collect_async.
+
+        With scan_chunks > 1 every span of S chunks dispatches as ONE
+        scanned call (the final partial span is padded up — wasted compute
+        on padding is far cheaper than extra per-call/per-transfer relay
+        overhead); outputs come back as one packed flat array per call."""
         n = r1_codes.shape[0]
         pending = []
+        S = self.scan_chunks
+        if S > 1:
+            span = S * self.chunk_size
+            shape = (S, self.chunk_size)
+            for start in range(0, n, span):
+                end = min(start + span, n)
+                args = [
+                    self._pad(r1_codes[start:end], span, N_CODE).reshape(
+                        shape + r1_codes.shape[1:]
+                    ),
+                    self._pad(r1_lens[start:end], span, 0).reshape(shape),
+                ]
+                if self.paired:
+                    args += [
+                        self._pad(r2_codes[start:end], span, N_CODE).reshape(
+                            shape + r2_codes.shape[1:]
+                        ),
+                        self._pad(r2_lens[start:end], span, 0).reshape(shape),
+                    ]
+                pending.append((self._scan_fn(self.tables, *args), end - start))
+            return pending
         for start in range(0, n, self.chunk_size):
             end = min(start + self.chunk_size, n)
             c1 = self._pad(r1_codes[start:end], self.chunk_size, N_CODE)
@@ -1177,18 +1266,24 @@ class AlignEngine:
             if self.paired:
                 c2 = self._pad(r2_codes[start:end], self.chunk_size, N_CODE)
                 l2 = self._pad(r2_lens[start:end], self.chunk_size, 0)
-                out = self._fn(self.tables, c1, l1, c2, l2)
+                out = self._fn_packed(self.tables, c1, l1, c2, l2)
             else:
-                out = self._fn(self.tables, c1, l1)
+                out = self._fn_packed(self.tables, c1, l1)
             pending.append((out, end - start))
         return pending
 
     def collect_async(self, pending):
-        """Transfer dispatched chunk outputs to host numpy."""
-        outs = [
-            {k: _to_host(v)[:valid] for k, v in out.items()}
-            for out, valid in pending
-        ]
+        """Transfer dispatched packed outputs to host numpy and unpack.
+
+        The bits width is derived from the packed row size (a feature-split
+        mesh pads the bitset width to a multiple of its feature axis, so
+        index.bitset_words is a lower bound, not the runtime width)."""
+        rows = self.chunk_size * max(self.scan_chunks, 1)
+        outs = []
+        for flat, valid in pending:
+            arr = np.asarray(flat)
+            W = arr.size // rows - len(PACKED_SCALARS)
+            outs.append(unpack_outputs(arr, W, valid))
         if not outs:
             return None
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

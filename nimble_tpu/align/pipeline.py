@@ -246,6 +246,23 @@ def append_path_string(input_path: str, append: str) -> str:
     return os.path.join(os.path.dirname(input_path), root + append + ext)
 
 
+def _enable_compilation_cache():
+    """Persist compiled executables across CLI invocations. Compiles through
+    the TPU relay take 20s-minutes; without this every `align` run repays
+    them. Cache location: NIMBLE_TPU_JAX_CACHE or <repo>/.jax_cache."""
+    import jax
+
+    cache_dir = os.environ.get("NIMBLE_TPU_JAX_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def align_files(
     reference: str,
     output: str,
@@ -253,7 +270,7 @@ def align_files(
     strand_filter: str = "unstranded",
     chunk_size: Optional[int] = None,
     max_len: int = 256,
-    batch_records: int = 1 << 17,
+    batch_records: Optional[int] = None,
     resume: bool = False,
     trim: str = "",
     mesh: str = "",
@@ -285,6 +302,7 @@ def align_files(
     """
     from nimble_tpu.observability import Throughput, profile, runlog
 
+    _enable_compilation_cache()
     log = runlog()
     library_list = reference.split(",")
     input_ext = os.path.splitext(inputs[0])[-1].lower()
@@ -388,6 +406,17 @@ def align_files(
                     mesh=mesh_plan,
                     chunk_cap=batch_records,
                 )
+
+    # batch size: default to one full scanned dispatch per batch (the
+    # engine's relay-amortized operating point); explicit batch_records
+    # still caps the engine chunk via chunk_cap above
+    if batch_records is None:
+        if stacked is not None:
+            batch_records = stacked.scan_chunks * stacked.chunk_size
+        else:
+            batch_records = max(
+                r.engine.scan_chunks * r.engine.chunk_size for r in runners
+            )
 
     progress_path = output + ".progress.json"
     batches_done = 0

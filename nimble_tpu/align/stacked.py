@@ -452,6 +452,7 @@ class StackedEngine:
         paired: bool = False,
         mesh=None,
         chunk_cap: Optional[int] = None,
+        scan_chunks: Optional[int] = None,
     ):
         import os as _os
 
@@ -467,7 +468,12 @@ class StackedEngine:
         if (
             all(ix.has_pairs for ix in indexes)
             and len({ix.pair_g for ix in indexes}) == 1
-            and int(getattr(configs[0], "kmer_stride", 1)) == 1
+            # strict per-library equivalence: every library must be one its
+            # standalone AlignEngine would also run in group mode (same
+            # width gate, engine.py AlignEngine.__init__), so stacked and
+            # per-library outputs stay byte-identical for any mix of widths
+            and all(ix.bitset_words <= E.GROUP_MAX_WORDS for ix in indexes)
+            and all(int(getattr(c, "kmer_stride", 1)) == 1 for c in configs)
             and self.max_len >= indexes[0].k + indexes[0].pair_g - 1
             and _os.environ.get("NIMBLE_TPU_NO_GROUP_PROBE", "") != "1"
         ):
@@ -531,38 +537,73 @@ class StackedEngine:
         seg = self.seg_words
         if self.group_g:
             g = self.group_g
-            if paired:
-                self._fn = jax.jit(
-                    lambda t, c1, l1, c2, l2: stacked_align_step_group(
-                        t, params, seg, g, c1, l1, c2, l2
-                    ),
-                    **jit_kwargs,
-                )
-            else:
-                self._fn = jax.jit(
-                    lambda t, c1, l1: stacked_align_step_group(
-                        t, params, seg, g, c1, l1
-                    ),
-                    **jit_kwargs,
-                )
-        elif paired:
-            self._fn = jax.jit(
-                lambda t, c1, l1, c2, l2: stacked_align_step(
-                    t, params, seg, c1, l1, c2, l2
-                ),
-                **jit_kwargs,
-            )
+            raw = lambda t, *xs: stacked_align_step_group(t, params, seg, g, *xs)  # noqa: E731
         else:
-            self._fn = jax.jit(
-                lambda t, c1, l1: stacked_align_step(t, params, seg, c1, l1),
-                **jit_kwargs,
-            )
+            raw = lambda t, *xs: stacked_align_step(t, params, seg, *xs)  # noqa: E731
+        self._fn = jax.jit(raw, **jit_kwargs)
+        # per-library bits widths for pack/unpack (engine.pack_outputs
+        # rationale: ONE flat transfer per device call)
+        self._lib_widths = [
+            int(seg[i + 1] - seg[i]) for i in range(len(indexes))
+        ]
+
+        def packed(t, *xs):
+            return jnp.concatenate(
+                [E.pack_outputs(o).reshape(xs[0].shape[0], -1) for o in raw(t, *xs)],
+                axis=1,
+            ).reshape(-1)
+
+        self._fn_packed = jax.jit(packed, **jit_kwargs)
+
+        # scanned multi-chunk dispatch (same rationale as AlignEngine:
+        # ~6 ms fixed relay cost per call, engine.py SCAN_CHUNKS_DEFAULT)
+        self.scan_chunks = 1
+        if scan_chunks is not None:
+            self.scan_chunks = max(1, int(scan_chunks))
+        elif mesh is None:
+            try:
+                if jax.default_backend() == "tpu":
+                    self.scan_chunks = E.SCAN_CHUNKS_DEFAULT
+            except Exception:
+                pass
+        self._scan_fn = None
+        if self.scan_chunks > 1:
+
+            def scan_step(t, *stacked):
+                def body(carry, xs):
+                    return carry, packed(t, *xs)
+
+                _, outs = jax.lax.scan(body, None, stacked)
+                return outs.reshape(-1)
+
+            self._scan_fn = jax.jit(scan_step)
 
     _pad = E.AlignEngine._pad
 
     def align_batch_async(self, r1_codes, r1_lens, r2_codes=None, r2_lens=None):
         n = r1_codes.shape[0]
         pending = []
+        S = self.scan_chunks
+        if S > 1:
+            span = S * self.chunk_size
+            shape = (S, self.chunk_size)
+            for start in range(0, n, span):
+                end = min(start + span, n)
+                args = [
+                    self._pad(r1_codes[start:end], span, E.N_CODE).reshape(
+                        shape + r1_codes.shape[1:]
+                    ),
+                    self._pad(r1_lens[start:end], span, 0).reshape(shape),
+                ]
+                if self.paired:
+                    args += [
+                        self._pad(r2_codes[start:end], span, E.N_CODE).reshape(
+                            shape + r2_codes.shape[1:]
+                        ),
+                        self._pad(r2_lens[start:end], span, 0).reshape(shape),
+                    ]
+                pending.append((self._scan_fn(self.tables, *args), end - start))
+            return pending
         for start in range(0, n, self.chunk_size):
             end = min(start + self.chunk_size, n)
             c1 = self._pad(r1_codes[start:end], self.chunk_size, E.N_CODE)
@@ -570,9 +611,9 @@ class StackedEngine:
             if self.paired:
                 c2 = self._pad(r2_codes[start:end], self.chunk_size, E.N_CODE)
                 l2 = self._pad(r2_lens[start:end], self.chunk_size, 0)
-                outs = self._fn(self.tables, c1, l1, c2, l2)
+                outs = self._fn_packed(self.tables, c1, l1, c2, l2)
             else:
-                outs = self._fn(self.tables, c1, l1)
+                outs = self._fn_packed(self.tables, c1, l1)
             pending.append((outs, end - start))
         return pending
 
@@ -580,14 +621,26 @@ class StackedEngine:
         """-> one host-numpy output dict per library."""
         if not pending:
             return None
-        n_libs = len(pending[0][0])
-        result = []
-        for li in range(n_libs):
+        n_scalar = len(E.PACKED_SCALARS)
+        widths = [w + n_scalar for w in self._lib_widths]
+        row_w = sum(widths)
+        result: List[Dict[str, np.ndarray]] = []
+        per_call = []
+        for flat, valid in pending:
+            arr = np.asarray(flat).reshape(-1, row_w)[:valid]
+            per_call.append(arr)
+        off = 0
+        for li, w in enumerate(self._lib_widths):
             chunks = [
-                {k: E._to_host(v)[:valid] for k, v in outs[li].items()}
-                for outs, valid in pending
+                E.unpack_outputs(
+                    np.ascontiguousarray(a[:, off : off + w + n_scalar]).reshape(-1),
+                    w,
+                    a.shape[0],
+                )
+                for a in per_call
             ]
             result.append(
                 {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
             )
+            off += w + n_scalar
         return result

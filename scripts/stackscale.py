@@ -4,15 +4,16 @@ workload replicated into L libraries. The reference aligns L libraries in
 one pass over the reads but probes each index per read (one -r/-o pair per
 library, nimble/__main__.py:182-189); the stack's advantage compounds with
 L because probe rows — the dominant cost — stay constant."""
-import sys, time
+import pathlib, sys, time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+sys.path.insert(0, _ROOT)
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", _ROOT + "/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench as B

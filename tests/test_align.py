@@ -536,3 +536,48 @@ def oracle_group_mate(read, kmap, pairset, k, g, orient):
     for w in matched:
         feats = set(matched[w]) if feats is None else feats & matched[w]
     return len(covered), (feats or set())
+
+
+class TestScannedDispatch:
+    """Scanned multi-chunk dispatch (lax.scan over stacked chunks, built to
+    amortize the TPU relay's ~6ms fixed per-call cost) must be output-
+    identical to chunk-by-chunk dispatch, including the non-multiple tail
+    that falls back to single-chunk calls."""
+
+    def test_scan_matches_single_chunk(self, hla_like):
+        seqs = hla_like
+        rng = np.random.default_rng(17)
+        reads = sample_reads(rng, seqs, 300, 70, error_rate=0.01)
+        config = Config()
+        data = make_data(seqs)
+        index = build_index(data, config, k=21)
+        codes, lens = seqmod.encode_batch(reads, 70)
+
+        plain = AlignEngine(index, config, chunk_size=64, max_len=70,
+                            scan_chunks=1)
+        scanned = AlignEngine(index, config, chunk_size=64, max_len=70,
+                              scan_chunks=4)
+        assert scanned.scan_chunks == 4 and scanned._scan_fn is not None
+        a = plain.align_batch(codes, lens)
+        b = scanned.align_batch(codes, lens)
+        # 300 reads = 4 full chunks scanned + 44-read padded tail chunk
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key
+
+    def test_scan_paired(self, hla_like):
+        seqs = hla_like
+        rng = np.random.default_rng(18)
+        r1 = sample_reads(rng, seqs, 200, 60)
+        r2 = sample_reads(rng, seqs, 200, 60)
+        config = Config()
+        index = build_index(make_data(seqs), config, k=21)
+        c1, l1 = seqmod.encode_batch(r1, 60)
+        c2, l2 = seqmod.encode_batch(r2, 60)
+        plain = AlignEngine(index, config, chunk_size=32, max_len=60,
+                            paired=True, scan_chunks=1)
+        scanned = AlignEngine(index, config, chunk_size=32, max_len=60,
+                              paired=True, scan_chunks=3)
+        a = plain.align_batch(c1, l1, c2, l2)
+        b = scanned.align_batch(c1, l1, c2, l2)
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key

@@ -225,3 +225,77 @@ def test_pipeline_stacked_tsvs_match_separate(tmp_path, monkeypatch, probe):
         a = open(append_path_string(str(out_stacked), f".{name}")).read()
         b = open(append_path_string(str(out_sep), f".{name}")).read()
         assert a == b and a.count("\n") > 1
+
+
+def test_pipeline_stacked_wide_library_matches_separate(tmp_path, monkeypatch):
+    """A library wider than the group gate (bitset_words > GROUP_MAX_WORDS)
+    stacked next to a narrow one: the stacked group gate must reject (every
+    library needs standalone-group-eligible width), so both modes probe the
+    same way and stay byte-identical."""
+    from nimble_tpu.align import engine as E
+    from nimble_tpu.align.pipeline import align_files, append_path_string
+    from nimble_tpu.config import save_library
+
+    rng = np.random.default_rng(31)
+    k = 15
+    wide_n = E.GROUP_MAX_WORDS * 32 + 8  # > 8 words of classes
+    wide_seqs = [rand_seq(rng, 60) for _ in range(wide_n)]
+    narrow_seqs = [rand_seq(rng, 200) for _ in range(3)]
+    paths = []
+    for name, seqs in (("wide", wide_seqs), ("narrow", narrow_seqs)):
+        cfg = Config()
+        cfg.kmer_length = k
+        p = tmp_path / f"{name}.json"
+        save_library(
+            str(p),
+            cfg,
+            make_data(seqs, names=[f"{name}_{i}" for i in range(len(seqs))]),
+        )
+        paths.append(str(p))
+
+    src = wide_seqs + narrow_seqs
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as f:
+        for i in range(80):
+            s = src[rng.integers(0, len(src))]
+            ln = min(50, len(s))
+            p0 = int(rng.integers(0, max(1, len(s) - ln)))
+            read = s[p0 : p0 + ln]
+            f.write(f"@r{i}\n{read}\n+\n{'I' * len(read)}\n")
+
+    ref = ",".join(paths)
+    out_stacked = tmp_path / "st.tsv"
+    out_sep = tmp_path / "sp.tsv"
+    rc1 = align_files(ref, str(out_stacked), [str(fq)], chunk_size=64, max_len=60)
+    monkeypatch.setenv("NIMBLE_TPU_NO_STACK", "1")
+    rc2 = align_files(ref, str(out_sep), [str(fq)], chunk_size=64, max_len=60)
+    assert rc1 == rc2 == 0
+    for name in ("wide", "narrow"):
+        a = open(append_path_string(str(out_stacked), f".{name}")).read()
+        b = open(append_path_string(str(out_sep), f".{name}")).read()
+        assert a == b and a.count("\n") > 1
+
+
+def test_stacked_scan_matches_single_chunk():
+    """StackedEngine's scanned dispatch is output-identical per library to
+    chunk-by-chunk dispatch (tail chunk included)."""
+    from nimble_tpu import seq as seqmod
+
+    rng = np.random.default_rng(23)
+    indexes, configs = make_libs(rng, 15)
+    reads = []
+    src = rand_seq(rng, 400)
+    for i in range(150):
+        p = int(rng.integers(0, 340))
+        reads.append(src[p : p + 60])
+    codes, lens = seqmod.encode_batch(reads, 60)
+    plain = StackedEngine(indexes, configs, chunk_size=32, max_len=60,
+                          scan_chunks=1)
+    scanned = StackedEngine(indexes, configs, chunk_size=32, max_len=60,
+                            scan_chunks=4)
+    a = plain.collect_async(plain.align_batch_async(codes, lens))
+    b = scanned.collect_async(scanned.align_batch_async(codes, lens))
+    assert len(a) == len(b)
+    for oa, ob in zip(a, b):
+        for key in oa:
+            assert np.array_equal(oa[key], ob[key]), key
