@@ -119,7 +119,7 @@ def main():
     # per-call relayout of device arrays afterwards). The measured program
     # is the scanned multi-chunk dispatch — the CLI's own operating point
     # (align_batch_async dispatches scan_chunks chunks per device call).
-    from nimble_tpu.align.engine import PACKED_SCALARS, unpack_outputs
+    from nimble_tpu.align.engine import PACKED_EXTRA, unpack_outputs
 
     if S > 1:
         c_dev = jax.device_put(codes[:span].reshape(S, chunk, -1))
@@ -133,7 +133,7 @@ def main():
     r = fn(engine.tables, c_dev, l_dev)
     jax.block_until_ready(r)
     first = np.asarray(r)
-    W = first.size // span - len(PACKED_SCALARS)
+    W = first.size // span - PACKED_EXTRA
     pass_rate = unpack_outputs(first, W, span)["pass_"].mean()
     log(f"compile+first call ({span} reads): {time.time() - t0:.2f}s; "
         f"pass rate {pass_rate:.3f}")

@@ -270,6 +270,41 @@ int64_t nt_fastq_parse_buffer(const char *buf, int64_t buf_len,
   return nrec;
 }
 
+// 2-bit wire packing for the host->device transfer. The dev-relay tunnel
+// moves ~55 MB/s, so int8 codes (1 byte/base) cap the CLI far below the
+// device rate; packed words carry 16 bases per int32 (base j in word j/16
+// at bit 2*(j%16)), N positions in a separate 1-bit-per-base flag plane
+// (rare in real data -> shipped as a sparse sidecar by the Python layer).
+//   codes:  int8  [n, in_stride]  2-bit base codes (N_CODE = N/invalid)
+//   lens:   int32 [n]             read lengths (<= L; N beyond len ignored:
+//                                 tail windows are invalidated by `inside`)
+//   words:  int32 [n, (L+15)/16]  packed 2-bit codes (N packed as 0/A)
+//   nflags: int32 [n, (L+31)/32]  bit j%32 of word j/32 = base j is N
+//   has_n:  uint8 [n]             any N within [0, len)
+void nt_pack_2bit(const int8_t *codes, const int32_t *lens, int64_t n,
+                  int64_t in_stride, int64_t L, int32_t *words,
+                  int32_t *nflags, uint8_t *has_n) {
+  const int64_t Lw = (L + 15) / 16, Lf = (L + 31) / 32;
+  for (int64_t i = 0; i < n; i++) {
+    const int8_t *row = codes + i * in_stride;
+    int32_t *wrow = words + i * Lw;
+    int32_t *frow = nflags + i * Lf;
+    memset(wrow, 0, (size_t)Lw * 4);
+    memset(frow, 0, (size_t)Lf * 4);
+    int64_t m = lens[i] < L ? lens[i] : L;
+    uint32_t hn = 0;
+    for (int64_t j = 0; j < m; j++) {
+      uint32_t c = (uint32_t)(uint8_t)row[j];
+      uint32_t isn = c >= 4 ? 1u : 0u;
+      uint32_t v = isn ? 0u : (c & 3u);
+      wrow[j >> 4] |= (int32_t)(v << (2 * (j & 15)));
+      frow[j >> 5] |= (int32_t)(isn << (j & 31));
+      hn |= isn;
+    }
+    has_n[i] = (uint8_t)hn;
+  }
+}
+
 // Vectorized batch base-encoding: seqs is a packed buffer of n sequences at
 // given offsets/lengths -> codes [n, max_len] + lens [n].
 void nt_encode_batch(const char *seqs, const int64_t *offs,

@@ -34,7 +34,11 @@ def main(argv=None) -> int:
     align_parser.add_argument("--strand_filter", type=str, default="unstranded")
     align_parser.add_argument("--trim", help="Trim config <TARGET_LENGTH>:<STRICTNESS>, comma-separated per library.", type=str, default="")
     align_parser.add_argument("--tmpdir", help="Accepted for compatibility (no BAM sort needed).", type=str, default=None)
-    align_parser.add_argument("--max-read-length", type=int, default=256)
+    align_parser.add_argument(
+        "--max-read-length", type=int, default=0,
+        help="Packed read width (0 = auto from the first batch, capped at "
+             "256; explicit values also truncate longer reads).",
+    )
     align_parser.add_argument(
         "--chunk-size", type=int, default=0,
         help="Reads per device call (0 = auto-size from the engine path and "

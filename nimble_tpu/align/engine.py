@@ -446,28 +446,71 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-PACKED_SCALARS = ("score", "r1_fwd", "r1_rev", "r2_fwd", "r2_rev", "pass_")
+# packed-output columns after the W bits words: scores ship as uint16
+# halves (score <= 2*max_len << 65536; the engines guard max_len <= 16383)
+# so the D2H wire cost is W+3 int32 per read instead of W+6 — the relay
+# moves ~30-40 MB/s D2H (scripts/tunnelbw.py), so output bytes are a
+# first-order term in end-to-end CLI throughput
+PACKED_EXTRA = 3
+MAX_LEN_LIMIT = 16383  # keeps every score strictly inside a uint16 half
 
 
 def pack_outputs(out: dict) -> jnp.ndarray:
-    """align_step outputs -> ONE flat int32 array (row-major (B, W+6):
-    bits | score | r1_fwd | r1_rev | r2_fwd | r2_rev | pass_). Transfers
-    through the device relay have a large fixed per-array cost, so the
-    dispatch path ships a single array per call (unpack: unpack_outputs)."""
-    cols = [out["bits"]] + [
-        out[k].astype(jnp.int32)[:, None] for k in PACKED_SCALARS
-    ]
+    """align_step outputs -> ONE flat int32 array, row-major (B, W+3):
+    bits | score|r1_fwd<<16 | r1_rev|r2_fwd<<16 | r2_rev|pass_<<16.
+    Transfers through the device relay have a large fixed per-array cost,
+    so the dispatch path ships a single array per call (unpack:
+    unpack_outputs)."""
+    s = {k: out[k].astype(jnp.int32) for k in ("score", "r1_fwd", "r1_rev", "r2_fwd", "r2_rev")}
+    c0 = s["score"] | (s["r1_fwd"] << 16)
+    c1 = s["r1_rev"] | (s["r2_fwd"] << 16)
+    c2 = s["r2_rev"] | (out["pass_"].astype(jnp.int32) << 16)
+    cols = [out["bits"], c0[:, None], c1[:, None], c2[:, None]]
     return jnp.concatenate(cols, axis=1).reshape(-1)
 
 
 def unpack_outputs(flat: np.ndarray, W: int, valid: int) -> dict:
     """Host-side inverse of pack_outputs, sliced to the valid row count."""
-    arr = flat.reshape(-1, W + len(PACKED_SCALARS))[:valid]
-    out = {"bits": arr[:, :W]}
-    for i, k in enumerate(PACKED_SCALARS):
-        col = arr[:, W + i]
-        out[k] = col.astype(bool) if k == "pass_" else col
-    return out
+    arr = flat.reshape(-1, W + PACKED_EXTRA)[:valid]
+    lo = lambda c: arr[:, W + c] & 0xFFFF
+    hi = lambda c: (arr[:, W + c] >> 16) & 0xFFFF
+    return {
+        "bits": arr[:, :W],
+        "score": lo(0),
+        "r1_fwd": hi(0),
+        "r1_rev": lo(1),
+        "r2_fwd": hi(1),
+        "r2_rev": lo(2),
+        "pass_": (hi(2) & 1).astype(bool),
+    }
+
+
+def unpack_reads(words: jnp.ndarray, L: int, nflags: Optional[jnp.ndarray] = None):
+    """Device-side inverse of io.packing.pack_codes: (B, ceil(L/16)) int32
+    packed words -> (B, L) int8 base codes, restoring N_CODE at flagged
+    positions. Pure VPU shift/mask work (no gathers)."""
+    B, Lw = words.shape
+    rep = jnp.broadcast_to(words[:, :, None], (B, Lw, 16)).reshape(B, Lw * 16)[:, :L]
+    sh = jnp.asarray((2 * (np.arange(L) % 16)).astype(np.int32))
+    codes = ((rep >> sh[None, :]) & 3).astype(jnp.int8)
+    if nflags is not None:
+        Lf = nflags.shape[1]
+        nrep = jnp.broadcast_to(nflags[:, :, None], (B, Lf, 32)).reshape(B, Lf * 32)[
+            :, :L
+        ]
+        nsh = jnp.asarray((np.arange(L) % 32).astype(np.int32))
+        isn = ((nrep >> nsh[None, :]) & 1) != 0
+        codes = jnp.where(isn, jnp.int8(N_CODE), codes)
+    return codes
+
+
+def scatter_nflags(n_idx: jnp.ndarray, n_rows: jnp.ndarray, B: int) -> jnp.ndarray:
+    """Sparse N sidecar -> dense (B, Lf) flag plane. Padding entries carry
+    n_idx >= B and are dropped by the scatter."""
+    Lf = n_rows.shape[1]
+    return (
+        jnp.zeros((B, Lf), jnp.int32).at[n_idx].set(n_rows, mode="drop")
+    )
 
 
 def _to_host(v) -> np.ndarray:
@@ -1216,6 +1259,61 @@ class AlignEngine:
 
             self._scan_fn = jax.jit(scan_step)
 
+        # packed-input dispatch (io/packing.py wire format): reads arrive as
+        # 2-bit words + a sparse N sidecar instead of int8 codes -- the
+        # H2D relay moves ~55 MB/s, so 1-byte-per-base input caps the CLI
+        # far below the device rate. jit compilation is lazy, so the packed
+        # variants cost nothing unless used (mesh engines keep codes input:
+        # shardings below are the codes-path ones).
+        if self.max_len > MAX_LEN_LIMIT:
+            raise ValueError(
+                f"max_len {self.max_len} > {MAX_LEN_LIMIT} (packed uint16 scores)"
+            )
+        self.packed_ok = mesh is None
+        self.sidecar_cap = 0
+        L = self.max_len
+        Lf = (L + 31) // 32
+        n_mates = 2 if paired else 1
+
+        def packed_to_codes(xs):
+            # xs: per mate (words, lens, nflags_dense)
+            args = []
+            for m in range(n_mates):
+                w, l, f = xs[3 * m : 3 * m + 3]
+                args += [unpack_reads(w, L, f), l]
+            return args
+
+        self._fn_packed_in = jax.jit(
+            lambda t, *xs: pack_outputs(align_step(t, p, *packed_to_codes(xs)))
+        )
+        self._scan_fn_packed = None
+        self._scan_fn_packed_dense = None
+        if self.scan_chunks > 1:
+            S, C = self.scan_chunks, self.chunk_size
+            self.sidecar_cap = max(256, (S * C) // 16)
+            cap = self.sidecar_cap
+
+            def scan_packed(sparse_n, t, *args):
+                # per mate: words (S,C,Lw), lens (S,C), then either sidecar
+                # (n_idx (cap,), n_rows (cap,Lf)) or dense nflags (S,C,Lf)
+                stacked = []
+                for m in range(n_mates):
+                    w, l, f = args[3 * m : 3 * m + 3]
+                    if sparse_n:
+                        f = scatter_nflags(f[0], f[1], S * C).reshape(S, C, Lf)
+                    stacked += [w, l, f]
+
+                def body(carry, xs):
+                    return carry, pack_outputs(align_step(t, p, *packed_to_codes(xs)))
+
+                _, outs = jax.lax.scan(body, None, tuple(stacked))
+                return outs.reshape(-1)
+
+            self._scan_fn_packed = jax.jit(lambda t, *a: scan_packed(True, t, *a))
+            self._scan_fn_packed_dense = jax.jit(
+                lambda t, *a: scan_packed(False, t, *a)
+            )
+
     def _pad(self, arr, n, fill):
         if arr.shape[0] == n:
             return arr
@@ -1272,6 +1370,99 @@ class AlignEngine:
             pending.append((out, end - start))
         return pending
 
+    def _mate_span_args(self, words, lens, nidx, nrows, start, end, span):
+        """Assemble one mate's packed args for a [start, end) span: padded
+        (S, C, ...) words/lens plus either the sparse N sidecar (when the
+        span's N-read count fits sidecar_cap) or a dense flag plane."""
+        S, C = self.scan_chunks, self.chunk_size
+        Lf = (self.max_len + 31) // 32
+        shape = (S, C)
+        w = self._pad(words[start:end], span, 0).reshape(shape + words.shape[1:])
+        l = self._pad(lens[start:end], span, 0).reshape(shape)
+        lo = int(np.searchsorted(nidx, start))
+        hi = int(np.searchsorted(nidx, end))
+        cnt = hi - lo
+        if cnt <= self.sidecar_cap:
+            idx = np.full(self.sidecar_cap, span, dtype=np.int32)  # drop pad
+            rows = np.zeros((self.sidecar_cap, Lf), dtype=np.int32)
+            idx[:cnt] = nidx[lo:hi] - start
+            rows[:cnt] = nrows[lo:hi]
+            return True, (w, l, (idx, rows))
+        dense = np.zeros((span, Lf), dtype=np.int32)
+        dense[nidx[lo:hi] - start] = nrows[lo:hi]
+        return False, (w, l, dense.reshape(S, C, Lf))
+
+    def align_packed_async(self, pb: dict):
+        """Dispatch a packed-wire batch (io.packing.pack_batch dict) to the
+        device. Same pending-list contract as align_batch_async."""
+        if not self.packed_ok:
+            raise ValueError("packed dispatch unavailable on mesh engines")
+        n = pb["r1_words"].shape[0]
+        pending = []
+        S = self.scan_chunks
+        if S > 1:
+            span = S * self.chunk_size
+            for start in range(0, n, span):
+                end = min(start + span, n)
+                sparse1, a1 = self._mate_span_args(
+                    pb["r1_words"], pb["r1_lens"], pb["r1_nidx"], pb["r1_nrows"],
+                    start, end, span,
+                )
+                args = list(a1)
+                sparse_all = sparse1
+                if self.paired:
+                    sparse2, a2 = self._mate_span_args(
+                        pb["r2_words"], pb["r2_lens"], pb["r2_nidx"],
+                        pb["r2_nrows"], start, end, span,
+                    )
+                    sparse_all = sparse1 and sparse2
+                    if sparse_all != sparse1 or sparse_all != sparse2:
+                        # one jit signature per span: if either mate spills
+                        # to dense, both go dense
+                        _, a1 = self._densify(a1, span)
+                        _, a2 = self._densify(a2, span)
+                        args = list(a1) + list(a2)
+                    else:
+                        args += list(a2)
+                fn = (
+                    self._scan_fn_packed
+                    if sparse_all
+                    else self._scan_fn_packed_dense
+                )
+                pending.append((fn(self.tables, *args), end - start))
+            return pending
+        # single-chunk path (CPU tests / scan disabled): dense flags
+        Lf = (self.max_len + 31) // 32
+        for start in range(0, n, self.chunk_size):
+            end = min(start + self.chunk_size, n)
+            args = []
+            for mate in ("r1", "r2") if self.paired else ("r1",):
+                w = self._pad(pb[f"{mate}_words"][start:end], self.chunk_size, 0)
+                l = self._pad(pb[f"{mate}_lens"][start:end], self.chunk_size, 0)
+                nidx = pb[f"{mate}_nidx"]
+                nrows = pb[f"{mate}_nrows"]
+                lo = int(np.searchsorted(nidx, start))
+                hi = int(np.searchsorted(nidx, end))
+                dense = np.zeros((self.chunk_size, Lf), dtype=np.int32)
+                dense[nidx[lo:hi] - start] = nrows[lo:hi]
+                args += [w, l, dense]
+            pending.append((self._fn_packed_in(self.tables, *args), end - start))
+        return pending
+
+    @staticmethod
+    def _densify(mate_args, span):
+        """Sidecar mate args -> dense-flag mate args (span level)."""
+        w, l, f = mate_args
+        if not isinstance(f, tuple):
+            return False, (w, l, f)
+        idx, rows = f
+        Lf = rows.shape[1]
+        dense = np.zeros((span, Lf), dtype=np.int32)
+        keep = idx < span
+        dense[idx[keep]] = rows[keep]
+        S = w.shape[0]
+        return False, (w, l, dense.reshape(S, span // S, Lf))
+
     def collect_async(self, pending):
         """Transfer dispatched packed outputs to host numpy and unpack.
 
@@ -1282,7 +1473,7 @@ class AlignEngine:
         outs = []
         for flat, valid in pending:
             arr = np.asarray(flat)
-            W = arr.size // rows - len(PACKED_SCALARS)
+            W = arr.size // rows - PACKED_EXTRA
             outs.append(unpack_outputs(arr, W, valid))
         if not outs:
             return None

@@ -232,6 +232,104 @@ def make_runner(
     return LibraryRunner(config, index, engine, emit, output_path)
 
 
+def _round_len(n: int, minimum: int = 32) -> int:
+    """Round a read length up to a multiple of 32 (stable packed widths and
+    compile-cache keys across batches)."""
+    return max(minimum, -(-int(n) // 32) * 32)
+
+
+class SpanFeeder:
+    """Accumulates read batches and carves exact dispatch spans.
+
+    Decouples the reader's batch size from the engine's relay-amortized
+    span (scan_chunks * chunk_size): every dispatch except the last is a
+    full span, so no padding waste, regardless of reader batching. Handles
+    both the packed wire format (r1_words + sparse N sidecar) and int8
+    codes batches; per-read metadata (cbs/umis/poss/gns/names) rides along.
+
+    The sparse N sidecar needs join-aware handling: `<mate>_nidx` holds
+    row indices into the batch and `<mate>_nrows` the flag rows at those
+    indices — merges offset the indices, slices rebase them."""
+
+    def __init__(self, span: int, paired: bool):
+        self.span = span
+        self.paired = paired
+        self.parts: List[dict] = []
+        self.count = 0
+
+    def add(self, pb: dict) -> List[dict]:
+        self.parts.append(pb)
+        self.count += pb["r1_lens"].shape[0]
+        if self.count < self.span:
+            return []
+        merged = self._merge()
+        out = []
+        n = merged["r1_lens"].shape[0]
+        start = 0
+        while n - start >= self.span:
+            out.append(self._slice(merged, start, start + self.span))
+            start += self.span
+        rest = self._slice(merged, start, n)
+        self.parts = [rest] if rest["r1_lens"].shape[0] else []
+        self.count = n - start
+        return out
+
+    def flush(self) -> Optional[dict]:
+        if self.count == 0:
+            return None
+        merged = self._merge()
+        self.parts = []
+        self.count = 0
+        return merged
+
+    def repack_width(self, Lw: int, Lf: int):
+        """Zero-pad buffered packed arrays to wider word counts (after a
+        max-read-length rebuild; packing is per-read, padding is zeros)."""
+        for pb in self.parts:
+            for mate in ("r1", "r2") if self.paired else ("r1",):
+                w = pb.get(f"{mate}_words")
+                if w is not None and w.shape[1] < Lw:
+                    pb[f"{mate}_words"] = np.pad(w, ((0, 0), (0, Lw - w.shape[1])))
+                r = pb.get(f"{mate}_nrows")
+                if r is not None and r.shape[1] < Lf:
+                    pb[f"{mate}_nrows"] = np.pad(r, ((0, 0), (0, Lf - r.shape[1])))
+
+    def _merge(self) -> dict:
+        if len(self.parts) == 1:
+            return self.parts[0]
+        out: dict = {}
+        p0 = self.parts[0]
+        offs = np.cumsum([0] + [p["r1_lens"].shape[0] for p in self.parts])
+        for k, v in p0.items():
+            if k.endswith("_nidx"):
+                out[k] = np.concatenate(
+                    [p[k] + o for p, o in zip(self.parts, offs)]
+                ).astype(np.int32)
+            elif isinstance(v, np.ndarray):
+                out[k] = np.concatenate([p[k] for p in self.parts])
+            elif isinstance(v, list):
+                out[k] = [x for p in self.parts for x in p[k]]
+            else:
+                out[k] = v
+        return out
+
+    def _slice(self, pb: dict, start: int, end: int) -> dict:
+        out: dict = {}
+        for k, v in pb.items():
+            if k.endswith("_nidx"):
+                lo = int(np.searchsorted(v, start))
+                hi = int(np.searchsorted(v, end))
+                out[k] = (v[lo:hi] - start).astype(np.int32)
+                out[k[:-5] + "_nrows"] = pb[k[:-5] + "_nrows"][lo:hi]
+            elif k.endswith("_nrows"):
+                pass  # handled with its _nidx
+            elif isinstance(v, (np.ndarray, list)):
+                out[k] = v[start:end]
+            else:
+                out[k] = v
+        return out
+
+
 def append_path_string(input_path: str, append: str) -> str:
     """Insert a suffix before the (full, possibly multi-part) extension
     (reference: utils.py:9-27)."""
@@ -263,13 +361,150 @@ def _enable_compilation_cache():
         pass
 
 
+def _make_batches(
+    inputs: Sequence[str],
+    is_bam: bool,
+    batch_records: int,
+    max_len: int,
+    num_cores: int,
+    inflight_batches: int,
+):
+    """Reader iterator over batch dicts (r1_codes/r1_lens[, r2_*][, meta])."""
+    if is_bam:
+        from nimble_tpu.io import native
+
+        if native.available():
+            return native.iter_native_bam_batches(
+                inputs[0], batch_records=batch_records, max_len=max_len
+            )
+        from nimble_tpu.io.bam import iter_bam_batches
+
+        return iter_bam_batches(
+            inputs[0], batch_records=batch_records, max_len=max_len
+        )
+    from nimble_tpu.io import native
+
+    if num_cores > 1 and native.available():
+        # threaded host decode: a producer thread inflates + cuts the
+        # stream, num_cores native parse workers 2-bit-encode chunks
+        # in parallel (the GIL is released inside the ctypes call),
+        # matching the reference's `-c` whole-hot-path threading
+        # (reference: __main__.py:180)
+        from nimble_tpu.io.threaded import ThreadedFastqReader
+
+        return iter(
+            ThreadedFastqReader(
+                inputs[0],
+                inputs[1] if len(inputs) == 2 else None,
+                batch_size=batch_records,
+                max_len=max_len,
+                num_threads=num_cores,
+                prefetch=max(2, inflight_batches + 1),
+            )
+        )
+    if native.available():
+        from nimble_tpu.io.native import NativeFastqReader
+
+        return iter(
+            NativeFastqReader(
+                inputs[0],
+                inputs[1] if len(inputs) == 2 else None,
+                batch_size=batch_records,
+                max_len=max_len,
+            )
+        )
+    from nimble_tpu.io.fastq import FastqReader
+
+    return iter(
+        FastqReader(
+            inputs[0],
+            inputs[1] if len(inputs) == 2 else None,
+            batch_size=batch_records,
+            max_len=max_len,
+        )
+    )
+
+
+def _slice_reader_batch(batch: dict, start: int) -> dict:
+    """Tail [start:] of a reader batch dict (arrays and metadata lists)."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = v[start:] if v is not None else None
+    return out
+
+
+def _build_engines(
+    runners: List[LibraryRunner],
+    strand_filter: str,
+    chunk_size: Optional[int],
+    max_len: int,
+    paired: bool,
+    mesh_plan,
+    chunk_cap: Optional[int],
+    log,
+):
+    """(Re)construct the device engines at a given max read length.
+
+    Stacked multi-library mode: when every library shares k/stride (and
+    trim), ONE device probe per window answers all of them (align/stacked
+    .py); otherwise each library keeps its standalone engine. A
+    feature-split mesh is incompatible with stacking (bits are inlined in
+    the stacked bucket rows), so it routes to per-library engines.
+    Returns the StackedEngine or None (per-library engines on runners)."""
+    stacked = None
+    if (
+        len(runners) > 1
+        and len({r.trim for r in runners}) == 1
+        and (mesh_plan is None or mesh_plan.n_feature == 1)
+        and os.environ.get("NIMBLE_TPU_NO_STACK", "") != "1"
+    ):
+        from nimble_tpu.align.stacked import StackedEngine
+
+        if StackedEngine.compatible(
+            [r.index for r in runners], [r.config for r in runners]
+        ):
+            try:
+                stacked = StackedEngine(
+                    [r.index for r in runners],
+                    [r.config for r in runners],
+                    strand_filter=strand_filter,
+                    chunk_size=chunk_size,
+                    max_len=max_len,
+                    paired=paired,
+                    mesh=mesh_plan,
+                    chunk_cap=chunk_cap,
+                )
+                log.event(
+                    "stacked_engine",
+                    n_libraries=len(runners),
+                    group_g=stacked.group_g,
+                    max_len=max_len,
+                )
+            except ValueError:
+                stacked = None
+    if stacked is None:
+        with log.stage("engine_build", max_len=max_len):
+            for r in runners:
+                r.engine = AlignEngine(
+                    r.index,
+                    r.config,
+                    strand_filter=strand_filter,
+                    chunk_size=chunk_size,
+                    max_len=max_len,
+                    paired=paired,
+                    mesh=mesh_plan,
+                    chunk_cap=chunk_cap,
+                )
+    return stacked
+
+
 def align_files(
     reference: str,
     output: str,
     inputs: Sequence[str],
     strand_filter: str = "unstranded",
     chunk_size: Optional[int] = None,
-    max_len: int = 256,
+    max_len: int = 0,
     batch_records: Optional[int] = None,
     resume: bool = False,
     trim: str = "",
@@ -282,10 +517,23 @@ def align_files(
     Returns a process exit code (nonzero on reader/engine failure, like the
     reference's propagated aligner exit code, reference __main__.py:439-440).
 
+    max_len <= 0 (the default) auto-sizes the packed read width from the
+    first batch's longest read (rounded up to a multiple of 32, capped at
+    256; longer reads later in the stream trigger a transparent engine
+    rebuild at the wider size). An explicit max_len is used as-is and also
+    caps/truncates reads at the reader, matching earlier behavior.
+
+    Reads travel host->device in the 2-bit packed wire format
+    (io/packing.py): the dev relay moves ~55 MB/s H2D, so int8 codes
+    (1 byte/base) would cap the CLI at ~200k reads/s while the device
+    sustains >4M (docs/PERF.md round-3). Mesh runs keep the int8 path
+    (packed dispatch is single-device for now; NIMBLE_TPU_NO_PACKED=1
+    forces int8 everywhere).
+
     num_cores drives host-side decode parallelism (io/threaded.py): a
     producer thread inflates + cuts the FASTQ stream and num_cores native
     parse workers 2-bit-encode record chunks in parallel, feeding a bounded
-    prefetch queue; `inflight_batches` batches are kept dispatched to the
+    prefetch queue; `inflight_batches` spans are kept dispatched to the
     device so host IO, device compute, and host emission all overlap.
 
     mesh: multi-chip spec "data=N[,feature=M]" (or "auto" for all devices
@@ -294,11 +542,12 @@ def align_files(
     the mesh's data axis and, for feature-split meshes, the class-bitset
     matrix over the feature axis (parallel/mesh.py).
 
-    Checkpoint/resume: a `<output>.progress.json` sidecar records the batch
-    cursor and per-library row counts after every batch (the reference's
-    only resume support is a BAM-sort `.done` sentinel; reference:
-    __main__.py:330-333). With resume=True an interrupted run fast-forwards
-    the reader, truncates any partial tail rows, and continues appending.
+    Checkpoint/resume: a `<output>.progress.json` sidecar records the read
+    cursor and per-library row counts/byte offsets after every dispatched
+    span (the reference's only resume support is a BAM-sort `.done`
+    sentinel; reference: __main__.py:330-333). With resume=True an
+    interrupted run fast-forwards the reader, truncates any partial tail
+    rows by byte offset, and continues appending.
     """
     from nimble_tpu.observability import Throughput, profile, runlog
 
@@ -308,6 +557,9 @@ def align_files(
     input_ext = os.path.splitext(inputs[0])[-1].lower()
     is_bam = input_ext == ".bam"
     paired = (len(inputs) == 2) or is_bam
+
+    auto_len = max_len <= 0
+    reader_len = max_len if not auto_len else 256
 
     # per-library trim overrides: "<TARGET_LENGTH>:<STRICTNESS>,..." in
     # library order (reference: __main__.py:191-192,400). A missing
@@ -341,15 +593,16 @@ def align_files(
             out_append = ""
             if len(library_list) > 1:
                 out_append = "." + os.path.splitext(os.path.basename(library))[0]
-            # engines are constructed after the stacking decision so stacked
-            # runs never materialize per-library device tables in HBM
+            # engines are constructed after the first batch is seen (auto
+            # max_len) and after the stacking decision, so stacked runs
+            # never materialize per-library device tables in HBM
             runner = make_runner(
                 library,
                 append_path_string(output, out_append),
                 strand_filter=strand_filter,
                 paired=paired,
                 chunk_size=chunk_size,
-                max_len=max_len,
+                max_len=reader_len,
                 build_engine=False,
             )
             if lib_idx in trim_targets:
@@ -358,110 +611,41 @@ def align_files(
                 runner.trim = runner.config.trim_spec()
             runners.append(runner)
 
-    # stacked multi-library mode: when every library shares k/stride (and
-    # trim), ONE device probe per window answers all of them (align/stacked
-    # .py); otherwise each library keeps its standalone engine. A
-    # feature-split mesh is incompatible with stacking (bits are inlined in
-    # the stacked bucket rows), so it routes to per-library engines.
-    stacked = None
-    if (
-        len(runners) > 1
-        and len({r.trim for r in runners}) == 1
-        and (mesh_plan is None or mesh_plan.n_feature == 1)
-        and os.environ.get("NIMBLE_TPU_NO_STACK", "") != "1"
-    ):
-        from nimble_tpu.align.stacked import StackedEngine
-
-        if StackedEngine.compatible(
-            [r.index for r in runners], [r.config for r in runners]
-        ):
-            try:
-                stacked = StackedEngine(
-                    [r.index for r in runners],
-                    [r.config for r in runners],
-                    strand_filter=strand_filter,
-                    chunk_size=chunk_size,
-                    max_len=max_len,
-                    paired=paired,
-                    mesh=mesh_plan,
-                    chunk_cap=batch_records,
-                )
-                log.event(
-                    "stacked_engine",
-                    n_libraries=len(runners),
-                    group_g=stacked.group_g,
-                )
-            except ValueError:
-                stacked = None
-    if stacked is None:
-        with log.stage("engine_build"):
-            for r in runners:
-                r.engine = AlignEngine(
-                    r.index,
-                    r.config,
-                    strand_filter=strand_filter,
-                    chunk_size=chunk_size,
-                    max_len=max_len,
-                    paired=paired,
-                    mesh=mesh_plan,
-                    chunk_cap=batch_records,
-                )
-
-    # batch size: default to one full scanned dispatch per batch (the
-    # engine's relay-amortized operating point); explicit batch_records
-    # still caps the engine chunk via chunk_cap above
-    if batch_records is None:
-        if stacked is not None:
-            batch_records = stacked.scan_chunks * stacked.chunk_size
-        else:
-            batch_records = max(
-                r.engine.scan_chunks * r.engine.chunk_size for r in runners
-            )
+    use_packed = (
+        mesh_plan is None
+        and os.environ.get("NIMBLE_TPU_NO_PACKED", "") != "1"
+    )
 
     progress_path = output + ".progress.json"
-    batches_done = 0
+    reads_done = 0
     if resume and os.path.exists(progress_path):
         import json as _json
 
         with open(progress_path) as f:
             prog = _json.load(f)
-        batches_done = prog.get("batches_done", 0)
+        if "reads_done" not in prog:
+            print(
+                "progress sidecar predates the packed pipeline; "
+                "restart without --resume",
+                file=sys.stderr,
+            )
+            return 1
+        reads_done = prog.get("reads_done", 0)
         for r in runners:
             rows_kept = prog.get("rows_written", {}).get(r.output_path, 0)
             byte_off = prog.get("bytes_written", {}).get(r.output_path)
-            if os.path.exists(r.output_path):
-                if byte_off is not None:
-                    # O(1) truncate at the recorded checkpoint offset
-                    os.truncate(r.output_path, byte_off)
-                else:
-                    # legacy sidecar without offsets: stream to the
-                    # (rows_kept+1)-th newline, never loading the file
-                    nl_needed = rows_kept + 1
-                    off = 0
-                    with open(r.output_path, "rb") as f:
-                        while nl_needed > 0:
-                            chunk = f.read(1 << 20)
-                            if not chunk:
-                                break
-                            c = chunk.count(b"\n")
-                            if c >= nl_needed:
-                                arr = np.frombuffer(chunk, dtype=np.uint8)
-                                nls = np.flatnonzero(arr == 10)
-                                off += int(nls[nl_needed - 1]) + 1
-                                nl_needed = 0
-                            else:
-                                nl_needed -= c
-                                off += len(chunk)
-                    os.truncate(r.output_path, off)
+            if os.path.exists(r.output_path) and byte_off is not None:
+                # O(1) truncate at the recorded checkpoint offset
+                os.truncate(r.output_path, byte_off)
             r.rows_written = rows_kept
-        print(f"Resuming from batch {batches_done}")
+        print(f"Resuming from read {reads_done}")
         for r in runners:
             r._file = open(r.output_path, "ab")
     else:
         for r in runners:
             r.open()
 
-    def save_progress(done_idx):
+    def save_progress(done_reads):
         import json as _json
 
         offsets = {}
@@ -471,113 +655,171 @@ def align_files(
         with open(progress_path, "w") as f:
             _json.dump(
                 {
-                    "batches_done": done_idx + 1,
+                    "reads_done": done_reads,
                     "rows_written": {r.output_path: r.rows_written for r in runners},
                     "bytes_written": offsets,
                 },
                 f,
             )
 
+    reader_batch = batch_records or (1 << 17)
     total = 0
     tput = Throughput(log)
     failed = False
+    stacked = None
     try:
-        if is_bam:
-            from nimble_tpu.io import native
-
-            if native.available():
-                batches = native.iter_native_bam_batches(
-                    inputs[0], batch_records=batch_records, max_len=max_len
-                )
-            else:
-                from nimble_tpu.io.bam import iter_bam_batches
-
-                batches = iter_bam_batches(
-                    inputs[0], batch_records=batch_records, max_len=max_len
-                )
+        batches = _make_batches(
+            inputs, is_bam, reader_batch, reader_len, num_cores, inflight_batches
+        )
+        # auto max_len: peek the FIRST batch of the file (deterministic
+        # across resume) and round its longest read up to a multiple of 32
+        first = next(batches, None)
+        if first is None:
+            for r in runners:
+                r.close()
+            if os.path.exists(progress_path):
+                os.remove(progress_path)
+            print(f"Aligned 0 read(-pair)s across {len(runners)} library(ies)")
+            return 0
+        if auto_len and use_packed:
+            m = int(np.max(first["r1_lens"]))
+            if paired and first.get("r2_lens") is not None:
+                m = max(m, int(np.max(first["r2_lens"])))
+            L = min(_round_len(m), reader_len)
         else:
-            from nimble_tpu.io import native
+            L = reader_len
 
-            if num_cores > 1 and native.available():
-                # threaded host decode: a producer thread inflates + cuts the
-                # stream, num_cores native parse workers 2-bit-encode chunks
-                # in parallel (the GIL is released inside the ctypes call),
-                # matching the reference's `-c` whole-hot-path threading
-                # (reference: __main__.py:180)
-                from nimble_tpu.io.threaded import ThreadedFastqReader
+        stacked = _build_engines(
+            runners, strand_filter, chunk_size, L, paired, mesh_plan,
+            batch_records, log,
+        )
+        eng0 = stacked if stacked is not None else runners[0].engine
+        span = eng0.scan_chunks * eng0.chunk_size
 
-                reader = ThreadedFastqReader(
-                    inputs[0],
-                    inputs[1] if len(inputs) == 2 else None,
-                    batch_size=batch_records,
-                    max_len=max_len,
-                    num_threads=num_cores,
-                    prefetch=max(2, inflight_batches + 1),
-                )
-            elif native.available():
-                reader = native.NativeFastqReader(
-                    inputs[0],
-                    inputs[1] if len(inputs) == 2 else None,
-                    batch_size=batch_records,
-                    max_len=max_len,
-                )
-            else:
-                from nimble_tpu.io.fastq import FastqReader
+        from itertools import chain
 
-                reader = FastqReader(
-                    inputs[0],
-                    inputs[1] if len(inputs) == 2 else None,
-                    batch_size=batch_records,
-                    max_len=max_len,
-                )
-            batches = iter(reader)
+        stream = chain([first], batches)
+        feeder = SpanFeeder(span, paired)
+
         with profile():
-            # up to `inflight_batches` batches dispatched ahead: JAX async
+            # up to `inflight_batches` spans dispatched ahead: JAX async
             # dispatch queues them on the device while the host finalizes
             # (transfers + emits) the oldest, so host IO, device compute,
             # and TSV emission all overlap
             from collections import deque
 
-            inflight = deque()  # (batch_idx, n, handles)
+            inflight = deque()  # (reads_end, n, handles, span_batch)
 
             def finalize(entry):
                 nonlocal total
-                done_idx, n, handles = entry
+                reads_end, n, handles, sb = entry
                 if stacked is not None:
-                    pending, b = handles
-                    outs = stacked.collect_async(pending)
+                    outs = stacked.collect_async(handles)
                     for r, out in zip(runners, outs or []):
-                        r.emit_out(out, b)
+                        r.emit_out(out, sb)
                 else:
                     for r, h in zip(runners, handles):
-                        r.finalize_batch(h)
+                        out = r.engine.collect_async(h)
+                        r.emit_out(out, sb)
                 total += n
                 tput.add(n)
-                save_progress(done_idx)
+                save_progress(reads_end)
 
-            def submit(batch):
-                if stacked is None:
-                    return [r.submit_batch(batch) for r in runners]
-                # trim settings are equal across libraries (stacking gate)
-                r1_lens = trimmed_lens(batch["r1_lens"], runners[0].trim)
-                r2_lens = batch.get("r2_lens")
-                if r2_lens is not None:
-                    r2_lens = trimmed_lens(r2_lens, runners[0].trim)
-                pending = stacked.align_batch_async(
-                    batch["r1_codes"], r1_lens, batch.get("r2_codes"), r2_lens
-                )
-                return (pending, batch)
+            def submit(sb, n):
+                # per-runner trim is applied to the lens view only; packed
+                # words/N-sidecars are trim-independent (windows beyond the
+                # trimmed length are invalidated on device by `inside`)
+                if use_packed:
+                    if stacked is not None:
+                        pb = dict(sb)
+                        pb["r1_lens"] = trimmed_lens(sb["r1_lens"], runners[0].trim)
+                        if paired:
+                            pb["r2_lens"] = trimmed_lens(
+                                sb["r2_lens"], runners[0].trim
+                            )
+                        return stacked.align_packed_async(pb)
+                    handles = []
+                    for r in runners:
+                        pb = dict(sb)
+                        pb["r1_lens"] = trimmed_lens(sb["r1_lens"], r.trim)
+                        if paired:
+                            pb["r2_lens"] = trimmed_lens(sb["r2_lens"], r.trim)
+                        handles.append(r.engine.align_packed_async(pb))
+                    return handles
+                if stacked is not None:
+                    l1 = trimmed_lens(sb["r1_lens"], runners[0].trim)
+                    l2 = None
+                    if paired:
+                        l2 = trimmed_lens(sb["r2_lens"], runners[0].trim)
+                    return stacked.align_batch_async(
+                        sb["r1_codes"], l1, sb.get("r2_codes"), l2
+                    )
+                handles = []
+                for r in runners:
+                    l1 = trimmed_lens(sb["r1_lens"], r.trim)
+                    l2 = None
+                    if paired:
+                        l2 = trimmed_lens(sb["r2_lens"], r.trim)
+                    handles.append(
+                        r.engine.align_batch_async(
+                            sb["r1_codes"], l1, sb.get("r2_codes"), l2
+                        )
+                    )
+                return handles
 
-            depth = max(1, inflight_batches)
-            for batch_idx, batch in enumerate(batches):
-                if batch_idx < batches_done:
-                    continue  # resume fast-forward
-                n = batch["r1_codes"].shape[0]
-                inflight.append((batch_idx, n, submit(batch)))
-                if len(inflight) > depth:
+            def dispatch(sb):
+                nonlocal cursor
+                n = sb["r1_lens"].shape[0]
+                cursor += n
+                inflight.append((cursor, n, submit(sb, n), sb))
+                while len(inflight) > max(1, inflight_batches):
                     finalize(inflight.popleft())
-            while inflight:
-                finalize(inflight.popleft())
+
+            def drain():
+                while inflight:
+                    finalize(inflight.popleft())
+
+            cursor = reads_done
+            to_skip = reads_done
+            if use_packed:
+                from nimble_tpu.io.packing import pack_batch
+
+            for batch in stream:
+                n = batch["r1_lens"].shape[0]
+                if to_skip >= n:
+                    to_skip -= n
+                    continue
+                if to_skip:
+                    batch = _slice_reader_batch(batch, to_skip)
+                    to_skip = 0
+                if use_packed:
+                    m = int(np.max(batch["r1_lens"])) if batch["r1_lens"].size else 0
+                    if paired and batch.get("r2_lens") is not None and batch["r2_lens"].size:
+                        m = max(m, int(np.max(batch["r2_lens"])))
+                    if m > L:
+                        # longer reads than the auto-sized width: drain the
+                        # device, rebuild engines at the wider length, and
+                        # zero-pad the packed backlog (docstring: auto max_len)
+                        drain()
+                        L = min(_round_len(m), reader_len)
+                        log.event("max_len_rebuild", max_len=L)
+                        stacked = _build_engines(
+                            runners, strand_filter, chunk_size, L, paired,
+                            mesh_plan, batch_records, log,
+                        )
+                        eng0 = stacked if stacked is not None else runners[0].engine
+                        new_span = eng0.scan_chunks * eng0.chunk_size
+                        feeder.span = new_span
+                        feeder.repack_width((L + 15) // 16, (L + 31) // 32)
+                    for sb in feeder.add(pack_batch(batch, L)):
+                        dispatch(sb)
+                else:
+                    for sb in feeder.add(batch):
+                        dispatch(sb)
+            tail = feeder.flush()
+            if tail is not None:
+                dispatch(tail)
+            drain()
     except Exception:
         # propagate failures as a nonzero exit code like the reference
         # propagates the aligner's (reference: __main__.py:439-440); the

@@ -578,7 +578,58 @@ class StackedEngine:
 
             self._scan_fn = jax.jit(scan_step)
 
+        # packed-input dispatch (2-bit words + sparse N sidecar), identical
+        # wire format and span assembly to AlignEngine's (engine.py): the
+        # stacked step only differs in what runs on the unpacked codes
+        if self.max_len > E.MAX_LEN_LIMIT:
+            raise ValueError(
+                f"max_len {self.max_len} > {E.MAX_LEN_LIMIT} (packed uint16 scores)"
+            )
+        self.packed_ok = mesh is None
+        self.sidecar_cap = 0
+        L = self.max_len
+        Lf = (L + 31) // 32
+        n_mates = 2 if paired else 1
+
+        def packed_to_codes(xs):
+            args = []
+            for m in range(n_mates):
+                w, l, f = xs[3 * m : 3 * m + 3]
+                args += [E.unpack_reads(w, L, f), l]
+            return args
+
+        self._fn_packed_in = jax.jit(
+            lambda t, *xs: packed(t, *packed_to_codes(xs))
+        )
+        self._scan_fn_packed = None
+        self._scan_fn_packed_dense = None
+        if self.scan_chunks > 1:
+            S, C = self.scan_chunks, self.chunk_size
+            self.sidecar_cap = max(256, (S * C) // 16)
+
+            def scan_packed(sparse_n, t, *args):
+                stacked_args = []
+                for m in range(n_mates):
+                    w, l, f = args[3 * m : 3 * m + 3]
+                    if sparse_n:
+                        f = E.scatter_nflags(f[0], f[1], S * C).reshape(S, C, Lf)
+                    stacked_args += [w, l, f]
+
+                def body(carry, xs):
+                    return carry, packed(t, *packed_to_codes(xs))
+
+                _, outs = jax.lax.scan(body, None, tuple(stacked_args))
+                return outs.reshape(-1)
+
+            self._scan_fn_packed = jax.jit(lambda t, *a: scan_packed(True, t, *a))
+            self._scan_fn_packed_dense = jax.jit(
+                lambda t, *a: scan_packed(False, t, *a)
+            )
+
     _pad = E.AlignEngine._pad
+    _mate_span_args = E.AlignEngine._mate_span_args
+    _densify = staticmethod(E.AlignEngine._densify)
+    align_packed_async = E.AlignEngine.align_packed_async
 
     def align_batch_async(self, r1_codes, r1_lens, r2_codes=None, r2_lens=None):
         n = r1_codes.shape[0]
@@ -621,7 +672,7 @@ class StackedEngine:
         """-> one host-numpy output dict per library."""
         if not pending:
             return None
-        n_scalar = len(E.PACKED_SCALARS)
+        n_scalar = E.PACKED_EXTRA
         widths = [w + n_scalar for w in self._lib_widths]
         row_w = sum(widths)
         result: List[Dict[str, np.ndarray]] = []

@@ -70,12 +70,18 @@ def test_align_resume(small_workspace):
         small_workspace["library"], out, [small_workspace["fastq"]],
         batch_records=16,
     )
-    lines = full.strip().split("\n")
-    n_after_3 = None
-    # craft a sidecar claiming 3 batches done; rows for first 48 reads
-    # (every read aligns here, so rows == reads)
+    # craft a sidecar claiming 48 reads done; rows for first 48 reads
+    # (every read aligns here, so rows == reads; +1 line for the header)
+    byte_off = len("\n".join(full.split("\n")[: 48 + 1]).encode()) + 1
     with open(out + ".progress.json", "w") as f:
-        json.dump({"batches_done": 3, "rows_written": {out: 48}}, f)
+        json.dump(
+            {
+                "reads_done": 48,
+                "rows_written": {out: 48},
+                "bytes_written": {out: byte_off},
+            },
+            f,
+        )
     # corrupt the tail to prove truncation works
     with open(out, "a") as f:
         f.write("GARBAGE\tROW\n")
@@ -86,6 +92,16 @@ def test_align_resume(small_workspace):
     resumed = open(out).read()
     assert resumed == full
     assert not os.path.exists(out + ".progress.json")
+
+    # a legacy (batch-cursor) sidecar is refused with a nonzero exit code
+    with open(out + ".progress.json", "w") as f:
+        json.dump({"batches_done": 3, "rows_written": {out: 48}}, f)
+    rc = align_files(
+        small_workspace["library"], out, [small_workspace["fastq"]],
+        batch_records=16, resume=True,
+    )
+    assert rc == 1
+    os.remove(out + ".progress.json")
 
 
 def test_align_trim(small_workspace):
