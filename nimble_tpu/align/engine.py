@@ -1280,7 +1280,7 @@ class AlignEngine:
             args = []
             for m in range(n_mates):
                 w, l, f = xs[3 * m : 3 * m + 3]
-                args += [unpack_reads(w, L, f), l]
+                args += [unpack_reads(w, L, f), l.astype(jnp.int32)]
             return args
 
         self._fn_packed_in = jax.jit(
@@ -1378,7 +1378,7 @@ class AlignEngine:
         Lf = (self.max_len + 31) // 32
         shape = (S, C)
         w = self._pad(words[start:end], span, 0).reshape(shape + words.shape[1:])
-        l = self._pad(lens[start:end], span, 0).reshape(shape)
+        l = self._pad(lens[start:end], span, 0).reshape(shape).astype(np.int16)
         lo = int(np.searchsorted(nidx, start))
         hi = int(np.searchsorted(nidx, end))
         cnt = hi - lo
@@ -1438,7 +1438,9 @@ class AlignEngine:
             args = []
             for mate in ("r1", "r2") if self.paired else ("r1",):
                 w = self._pad(pb[f"{mate}_words"][start:end], self.chunk_size, 0)
-                l = self._pad(pb[f"{mate}_lens"][start:end], self.chunk_size, 0)
+                l = self._pad(
+                    pb[f"{mate}_lens"][start:end], self.chunk_size, 0
+                ).astype(np.int16)
                 nidx = pb[f"{mate}_nidx"]
                 nrows = pb[f"{mate}_nrows"]
                 lo = int(np.searchsorted(nidx, start))

@@ -233,9 +233,9 @@ def make_runner(
 
 
 def _round_len(n: int, minimum: int = 32) -> int:
-    """Round a read length up to a multiple of 32 (stable packed widths and
-    compile-cache keys across batches)."""
-    return max(minimum, -(-int(n) // 32) * 32)
+    """Round a read length up to a multiple of 16 (one packed int32 word;
+    stable packed widths and compile-cache keys across batches)."""
+    return max(minimum, -(-int(n) // 16) * 16)
 
 
 class SpanFeeder:
@@ -780,46 +780,100 @@ def align_files(
                     finalize(inflight.popleft())
 
             cursor = reads_done
-            to_skip = reads_done
-            if use_packed:
-                from nimble_tpu.io.packing import pack_batch
 
-            for batch in stream:
-                n = batch["r1_lens"].shape[0]
-                if to_skip >= n:
-                    to_skip -= n
-                    continue
-                if to_skip:
-                    batch = _slice_reader_batch(batch, to_skip)
-                    to_skip = 0
-                if use_packed:
-                    m = int(np.max(batch["r1_lens"])) if batch["r1_lens"].size else 0
-                    if paired and batch.get("r2_lens") is not None and batch["r2_lens"].size:
-                        m = max(m, int(np.max(batch["r2_lens"])))
-                    if m > L:
-                        # longer reads than the auto-sized width: drain the
-                        # device, rebuild engines at the wider length, and
-                        # zero-pad the packed backlog (docstring: auto max_len)
-                        drain()
-                        L = min(_round_len(m), reader_len)
-                        log.event("max_len_rebuild", max_len=L)
-                        stacked = _build_engines(
-                            runners, strand_filter, chunk_size, L, paired,
-                            mesh_plan, batch_records, log,
-                        )
-                        eng0 = stacked if stacked is not None else runners[0].engine
-                        new_span = eng0.scan_chunks * eng0.chunk_size
-                        feeder.span = new_span
-                        feeder.repack_width((L + 15) // 16, (L + 31) // 32)
-                    for sb in feeder.add(pack_batch(batch, L)):
-                        dispatch(sb)
-                else:
+            def rebuild(newL):
+                # longer reads than the auto-sized width: drain the
+                # device, rebuild engines at the wider length (docstring:
+                # auto max_len). The feeder thread already zero-padded its
+                # packed backlog to the new width.
+                nonlocal stacked, L
+                drain()
+                L = newL
+                log.event("max_len_rebuild", max_len=L)
+                stacked = _build_engines(
+                    runners, strand_filter, chunk_size, L, paired,
+                    mesh_plan, batch_records, log,
+                )
+
+            if use_packed:
+                # reader + 2-bit packing run on their own thread: host
+                # decode happens entirely behind the dispatch/collect loop,
+                # which is wire-bound on the device link (docs/PERF.md
+                # round-3). The bounded queue caps buffered spans.
+                import queue as _queue
+                import threading
+
+                spanq: "_queue.Queue" = _queue.Queue(
+                    maxsize=max(2, inflight_batches + 1)
+                )
+
+                def feed():
+                    from nimble_tpu.io.packing import pack_batch
+
+                    try:
+                        to_skip = reads_done
+                        L_cur = L
+                        for batch in stream:
+                            n = batch["r1_lens"].shape[0]
+                            if to_skip >= n:
+                                to_skip -= n
+                                continue
+                            if to_skip:
+                                batch = _slice_reader_batch(batch, to_skip)
+                                to_skip = 0
+                            m = (
+                                int(np.max(batch["r1_lens"]))
+                                if batch["r1_lens"].size
+                                else 0
+                            )
+                            r2l = batch.get("r2_lens")
+                            if paired and r2l is not None and r2l.size:
+                                m = max(m, int(np.max(r2l)))
+                            if m > L_cur:
+                                L_cur = min(_round_len(m), reader_len)
+                                feeder.repack_width(
+                                    (L_cur + 15) // 16, (L_cur + 31) // 32
+                                )
+                                spanq.put(("rebuild", L_cur))
+                            for sb in feeder.add(pack_batch(batch, L_cur)):
+                                spanq.put(("span", sb))
+                        tail = feeder.flush()
+                        if tail is not None:
+                            spanq.put(("span", tail))
+                        spanq.put(None)
+                    except BaseException as e:  # surface to the main thread
+                        spanq.put(e)
+
+                feeder_thread = threading.Thread(target=feed, daemon=True)
+                feeder_thread.start()
+                while True:
+                    item = spanq.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    kind, payload = item
+                    if kind == "rebuild":
+                        rebuild(payload)
+                    else:
+                        dispatch(payload)
+                drain()
+            else:
+                to_skip = reads_done
+                for batch in stream:
+                    n = batch["r1_lens"].shape[0]
+                    if to_skip >= n:
+                        to_skip -= n
+                        continue
+                    if to_skip:
+                        batch = _slice_reader_batch(batch, to_skip)
+                        to_skip = 0
                     for sb in feeder.add(batch):
                         dispatch(sb)
-            tail = feeder.flush()
-            if tail is not None:
-                dispatch(tail)
-            drain()
+                tail = feeder.flush()
+                if tail is not None:
+                    dispatch(tail)
+                drain()
     except Exception:
         # propagate failures as a nonzero exit code like the reference
         # propagates the aligner's (reference: __main__.py:439-440); the

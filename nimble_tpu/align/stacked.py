@@ -595,7 +595,7 @@ class StackedEngine:
             args = []
             for m in range(n_mates):
                 w, l, f = xs[3 * m : 3 * m + 3]
-                args += [E.unpack_reads(w, L, f), l]
+                args += [E.unpack_reads(w, L, f), l.astype(jnp.int32)]
             return args
 
         self._fn_packed_in = jax.jit(
