@@ -71,6 +71,65 @@ def test_distributed_report_matches_exact():
     assert got == expected
 
 
+def test_distributed_report_skewed_barcode():
+    """One cell barcode holding 50% of all rows (over-sequenced cell) must
+    neither blow up the exchange buffer (pair-bucketing keeps blocks near
+    the mean, not the hot-cb max) nor change the counts."""
+    rng = np.random.default_rng(3)
+    vocab = [f"g{i:02d}" for i in range(10)]
+    rows = []
+    # hot cell: 400 rows over 200 umis
+    for umi in range(200):
+        for _ in range(2):
+            f = int(rng.integers(0, 10))
+            rows.append(("HOTCELL", f"UMI{umi:03d}", vocab[f], 30))
+    # 40 normal cells: 10 rows each
+    for cell in range(40):
+        for umi in range(10):
+            f = int(rng.integers(0, 10))
+            rows.append((f"CELL{cell:02d}", f"UMI{umi:03d}", vocab[f], 30))
+    expected, _ = report_rows(rows, 0.05)
+
+    n_shards = 8
+    plan = make_mesh(n_data=n_shards, n_feature=1)
+    shard_rows = [[] for _ in range(n_shards)]
+    for i, (cb, umi, feats, score) in enumerate(rows):
+        shard_rows[i % n_shards].append((cb, umi, to_bits(feats, vocab), float(score)))
+
+    got, stats = distributed_report(plan.mesh, shard_rows, vocab, 0.05, with_stats=True)
+    assert got == expected
+    # cb-only bucketing would force blk >= hot-cb rows per source
+    # (~400/8 = 50) -> buffer ~ n_shards^2 * 50 = 3200 rows for 800 actual.
+    # Pair-bucketing keeps the padded buffer within 3x of the actual rows.
+    assert stats["buffer_rows"] <= 3 * stats["rows"], stats
+
+
+def test_hash_collision_salt_fallback(monkeypatch):
+    """Force a collision in the salt-0 family; the report must silently move
+    to a salted family instead of raising."""
+    import nimble_tpu.parallel.dist as dist
+
+    real = dist._hash_unique
+
+    def colliding(strings, salt):
+        h = real(strings, salt)
+        if salt == 0 and len(strings) >= 2:
+            h[1] = h[0]  # manufacture a collision
+        return h
+
+    monkeypatch.setattr(dist, "_hash_unique", colliding)
+    plan = make_mesh(n_data=4, n_feature=1)
+    vocab = ["A", "B"]
+    shard_rows = [
+        [("c1", "U1", to_bits("A", vocab), 30.0)],
+        [("c2", "U2", to_bits("B", vocab), 30.0)],
+        [],
+        [],
+    ]
+    got = distributed_report(plan.mesh, shard_rows, vocab, 0.05)
+    assert got == [("A", 1, "c1"), ("B", 1, "c2")]
+
+
 def test_distributed_report_empty_shards():
     plan = make_mesh(n_data=4, n_feature=1)
     vocab = ["A", "B"]
