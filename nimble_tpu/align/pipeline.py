@@ -134,12 +134,15 @@ class LibraryRunner:
     emit: EmitConfig
     output_path: str
     trim: Tuple[int, float] = (0, 0.0)  # (target_length, strictness); (0, _) = off
+    final_path: str = ""  # multi-process runs: merged destination (output_path
+    # then points at this process's headerless shard file)
     _file: object = None
     rows_written: int = 0
 
-    def open(self):
+    def open(self, header: bool = True):
         self._file = open(self.output_path, "wb")
-        self._file.write(("\t".join(TSV_HEADER) + "\n").encode())
+        if header:
+            self._file.write(("\t".join(TSV_HEADER) + "\n").encode())
 
     def close(self):
         if self._file:
@@ -498,6 +501,95 @@ def _build_engines(
     return stacked
 
 
+def _align_world() -> Tuple[int, int]:
+    """Multi-process placement for `align` (process_id, num_processes).
+
+    Env-gated: JAX_COORDINATOR_ADDRESS initializes jax.distributed (real
+    multi-host pods; parallel/dist.init_distributed), after which the JAX
+    process grid is authoritative. Without a coordinator, the
+    NIMBLE_TPU_NUM_PROCS / NIMBLE_TPU_PROC_ID pair drives independent
+    processes (CPU-mesh tests, manual multi-host launches over a shared
+    filesystem). Default: single process.
+    """
+    from nimble_tpu.parallel.dist import init_distributed
+
+    if init_distributed():
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    n = int(os.environ.get("NIMBLE_TPU_NUM_PROCS", "1") or 1)
+    if n <= 1:
+        return 0, 1
+    pid = int(os.environ.get("NIMBLE_TPU_PROC_ID", "0") or 0)
+    assert 0 <= pid < n, f"NIMBLE_TPU_PROC_ID {pid} out of range for {n} procs"
+    return pid, n
+
+
+def _write_shard_meta(output: str, pid: int, span_meta, total: int) -> None:
+    """Persist this shard's span-order byte accounting, then the `.done`
+    sentinel (the merge barrier; written LAST so a visible sentinel implies
+    a complete meta)."""
+    import json as _json
+
+    with open(f"{output}.shard{pid}.meta.json", "w") as f:
+        _json.dump({"spans": span_meta, "total": total}, f)
+    with open(f"{output}.shard{pid}.done", "w"):
+        pass
+
+
+def _merge_shards(output: str, final_paths: Sequence[str], world_n: int) -> int:
+    """Host-0 merge: wait for every shard's `.done` sentinel on the shared
+    filesystem, then splice shard files back into reader order.
+
+    Each process owns spans round-robin by span index and its shard file
+    holds its spans' rows contiguously in ascending index order, so the
+    merged file — header + span byte-ranges in global index order — is
+    byte-identical to a single-process run. Returns the merged read total.
+    """
+    import json as _json
+    import time as _time
+
+    timeout = float(os.environ.get("NIMBLE_TPU_MERGE_TIMEOUT_S", "3600"))
+    deadline = _time.monotonic() + timeout
+    for p in range(world_n):
+        sentinel = f"{output}.shard{p}.done"
+        while not os.path.exists(sentinel):
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"merge barrier: {sentinel} never appeared")
+            _time.sleep(0.2)
+
+    metas = []
+    for p in range(world_n):
+        with open(f"{output}.shard{p}.meta.json") as f:
+            metas.append(_json.load(f))
+    total = sum(m["total"] for m in metas)
+
+    # (span_idx, owner, bytes_by_final_path), globally ordered
+    schedule = sorted(
+        (idx, p, by_lib)
+        for p, m in enumerate(metas)
+        for idx, by_lib in m["spans"]
+    )
+    for fp in final_paths:
+        shard_files = [open(f"{fp}.shard{p}", "rb") for p in range(world_n)]
+        try:
+            with open(fp, "wb") as out:
+                out.write(("\t".join(TSV_HEADER) + "\n").encode())
+                for _idx, p, by_lib in schedule:
+                    nbytes = by_lib.get(fp, 0)
+                    if nbytes:
+                        out.write(shard_files[p].read(nbytes))
+        finally:
+            for f in shard_files:
+                f.close()
+        for p in range(world_n):
+            os.remove(f"{fp}.shard{p}")
+    for p in range(world_n):
+        os.remove(f"{output}.shard{p}.meta.json")
+        os.remove(f"{output}.shard{p}.done")
+    return total
+
+
 def align_files(
     reference: str,
     output: str,
@@ -548,11 +640,32 @@ def align_files(
     sentinel; reference: __main__.py:330-333). With resume=True an
     interrupted run fast-forwards the reader, truncates any partial tail
     rows by byte offset, and continues appending.
+
+    Multi-host/multi-process (_align_world; the reference is strictly
+    single-host, SURVEY §5.8): with JAX_COORDINATOR_ADDRESS set (real pods,
+    jax.distributed) or NIMBLE_TPU_NUM_PROCS/NIMBLE_TPU_PROC_ID exported,
+    each process aligns the dispatch spans it owns (round-robin by span
+    index) into a headerless `<output>.shardP` file and process 0 splices
+    the shards back into reader order over the shared filesystem
+    (_merge_shards), producing output byte-identical to a single-process
+    run. Device compute and TSV emission scale with the process count;
+    every process decodes the full input stream (per-host decode is >2x a
+    chip's alignment rate at -c 4, so decode is not the binding constraint
+    below ~3 chips/host).
     """
     from nimble_tpu.observability import Throughput, profile, runlog
 
     _enable_compilation_cache()
     log = runlog()
+    world_pid, world_n = _align_world()
+    if world_n > 1:
+        log.event("world", pid=world_pid, n=world_n)
+        if resume:
+            print(
+                "align --resume is not supported in multi-process runs",
+                file=sys.stderr,
+            )
+            return 1
     library_list = reference.split(",")
     input_ext = os.path.splitext(inputs[0])[-1].lower()
     is_bam = input_ext == ".bam"
@@ -611,6 +724,14 @@ def align_files(
                 runner.trim = runner.config.trim_spec()
             runners.append(runner)
 
+    if world_n > 1:
+        # each process aligns the spans it owns (round-robin by span index)
+        # into a headerless shard file; host 0 splices them back into reader
+        # order after the sentinel barrier (_merge_shards)
+        for r in runners:
+            r.final_path = r.output_path
+            r.output_path = f"{r.output_path}.shard{world_pid}"
+
     use_packed = (
         mesh_plan is None
         and os.environ.get("NIMBLE_TPU_NO_PACKED", "") != "1"
@@ -643,11 +764,13 @@ def align_files(
             r._file = open(r.output_path, "ab")
     else:
         for r in runners:
-            r.open()
+            r.open(header=world_n == 1)
 
     def save_progress(done_reads):
         import json as _json
 
+        if world_n > 1:  # no resume story across process grids
+            return
         offsets = {}
         for r in runners:
             r._file.flush()
@@ -679,6 +802,10 @@ def align_files(
                 r.close()
             if os.path.exists(progress_path):
                 os.remove(progress_path)
+            if world_n > 1:
+                _write_shard_meta(output, world_pid, [], 0)
+                if world_pid == 0:
+                    _merge_shards(output, [r.final_path for r in runners], world_n)
             print(f"Aligned 0 read(-pair)s across {len(runners)} library(ies)")
             return 0
         if auto_len and use_packed:
@@ -708,11 +835,14 @@ def align_files(
             # and TSV emission all overlap
             from collections import deque
 
-            inflight = deque()  # (reads_end, n, handles, span_batch)
+            inflight = deque()  # (reads_end, n, handles, span_batch, span_idx)
 
             def finalize(entry):
                 nonlocal total
-                reads_end, n, handles, sb = entry
+                reads_end, n, handles, sb, span_idx = entry
+                pre = (
+                    [r._file.tell() for r in runners] if world_n > 1 else None
+                )
                 if stacked is not None:
                     outs = stacked.collect_async(handles)
                     for r, out in zip(runners, outs or []):
@@ -723,7 +853,18 @@ def align_files(
                         r.emit_out(out, sb)
                 total += n
                 tput.add(n)
-                save_progress(reads_end)
+                if world_n > 1:
+                    span_meta.append(
+                        (
+                            span_idx,
+                            {
+                                r.final_path: r._file.tell() - p
+                                for r, p in zip(runners, pre)
+                            },
+                        )
+                    )
+                else:
+                    save_progress(reads_end)
 
             def submit(sb, n):
                 # per-runner trim is applied to the lens view only; packed
@@ -768,10 +909,14 @@ def align_files(
                 return handles
 
             def dispatch(sb):
-                nonlocal cursor
+                nonlocal cursor, span_counter
                 n = sb["r1_lens"].shape[0]
+                span_idx = span_counter
+                span_counter += 1
                 cursor += n
-                inflight.append((cursor, n, submit(sb, n), sb))
+                if world_n > 1 and span_idx % world_n != world_pid:
+                    return  # another process owns this span
+                inflight.append((cursor, n, submit(sb, n), sb, span_idx))
                 while len(inflight) > max(1, inflight_batches):
                     finalize(inflight.popleft())
 
@@ -780,6 +925,8 @@ def align_files(
                     finalize(inflight.popleft())
 
             cursor = reads_done
+            span_counter = 0
+            span_meta: List[Tuple[int, Dict[str, int]]] = []
 
             def rebuild(newL):
                 # longer reads than the auto-sized width: drain the
@@ -891,6 +1038,13 @@ def align_files(
         return 1
     if os.path.exists(progress_path):
         os.remove(progress_path)
+    if world_n > 1:
+        _write_shard_meta(output, world_pid, span_meta, total)
+        if world_pid == 0:
+            total = _merge_shards(
+                output, [r.final_path for r in runners], world_n
+            )
+            log.event("align_merged", total=total, world_n=world_n)
     stats = tput.final()
     log.event("align_done", total=total, **stats)
     print(f"Aligned {total} read(-pair)s across {len(runners)} library(ies)")

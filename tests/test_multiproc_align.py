@@ -1,0 +1,131 @@
+"""Multi-process align e2e: two OS processes, each aligning its owned spans
+of the same FASTQ (NIMBLE_TPU_NUM_PROCS/NIMBLE_TPU_PROC_ID), with process 0
+merging the shard files — output must be byte-identical to a single-process
+run. This is the multi-host story the reference lacks entirely (SURVEY
+§5.8: reference parallelism is `-c` threads on one host)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nimble_tpu.__main__ import main as cli
+from nimble_tpu.io.fasta import write_fasta
+from nimble_tpu.io.fastq import write_fastq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = """
+import jax, sys
+jax.config.update("jax_platforms", "cpu")
+from nimble_tpu.__main__ import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp_align")
+    rng = np.random.default_rng(23)
+    backbone = rand_seq(rng, 800)
+    alleles = []
+    for i in range(8):
+        s = list(backbone)
+        s[60 + i * 90 : 60 + i * 90 + 45] = list(rand_seq(rng, 45))
+        alleles.append((f"al{i}", "".join(s)))
+    fasta = str(root / "lib.fasta")
+    write_fasta(fasta, alleles)
+    library = str(root / "library.json")
+    assert cli(["generate", "--file", fasta, "--output_path", library]) == 0
+
+    reads = []
+    for r in range(4000):
+        name, seq = alleles[r % len(alleles)]
+        pos = int(rng.integers(0, len(seq) - 100))
+        read = seq[pos : pos + 100]
+        if r % 3 == 0:
+            read = read[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        reads.append((f"r{r}", read, "I" * 100))
+    fastq = str(root / "reads.fastq")
+    write_fastq(fastq, reads)
+    return {"root": root, "library": library, "fastq": fastq}
+
+
+def run_proc(args, extra_env, wait=True):
+    env = dict(os.environ)
+    env.update(extra_env)
+    # tiny reader batches force several spans so both processes own work
+    env.setdefault("PYTHONPATH", REPO)
+    p = subprocess.Popen(
+        [sys.executable, "-c", RUNNER] + args,
+        env=env,
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    if not wait:
+        return p
+    out, _ = p.communicate(timeout=600)
+    return p.returncode, out.decode()
+
+
+def test_two_process_align_byte_equal(workspace):
+    root = workspace["root"]
+    single = str(root / "single.tsv")
+    code, out = run_proc(
+        [
+            "align", "--reference", workspace["library"], "--output", single,
+            "--input", workspace["fastq"], "--chunk-size", "256",
+        ],
+        {},
+    )
+    assert code == 0, out
+
+    merged = str(root / "merged.tsv")
+    base = [
+        "align", "--reference", workspace["library"], "--output", merged,
+        "--input", workspace["fastq"], "--chunk-size", "256",
+    ]
+    p1 = run_proc(
+        base,
+        {"NIMBLE_TPU_NUM_PROCS": "2", "NIMBLE_TPU_PROC_ID": "1"},
+        wait=False,
+    )
+    code0, out0 = run_proc(
+        base, {"NIMBLE_TPU_NUM_PROCS": "2", "NIMBLE_TPU_PROC_ID": "0"}
+    )
+    out1, _ = p1.communicate(timeout=600)
+    assert p1.returncode == 0, out1.decode()
+    assert code0 == 0, out0
+    assert "Aligned 4000 read(-pair)s" in out0
+
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(merged, "rb") as f:
+        got = f.read()
+    assert got == want
+    # shard scratch files are cleaned up by the merge
+    leftovers = [p for p in os.listdir(root) if ".shard" in p]
+    assert leftovers == []
+
+
+def test_multiproc_resume_refused(workspace, capsys):
+    os.environ["NIMBLE_TPU_NUM_PROCS"] = "2"
+    os.environ["NIMBLE_TPU_PROC_ID"] = "0"
+    try:
+        code = cli(
+            [
+                "align", "--reference", workspace["library"],
+                "--output", str(workspace["root"] / "x.tsv"),
+                "--input", workspace["fastq"], "--resume",
+            ]
+        )
+    finally:
+        del os.environ["NIMBLE_TPU_NUM_PROCS"]
+        del os.environ["NIMBLE_TPU_PROC_ID"]
+    assert code == 1
