@@ -935,3 +935,98 @@ void nt_index_export(void *handle, uint32_t *table_hi, uint32_t *table_lo,
 void nt_index_free(void *handle) { delete (IndexBuild *)handle; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TSV emission
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Minimal signed itoa; returns the new write cursor.
+inline char *put_int(char *p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = '0' + (char)(v % 10);
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+// Fixed-width byte column (numpy S-dtype): item i at base + i*w, padded
+// with NULs. Returns the new cursor after appending the logical string.
+inline char *put_fixed(char *p, const char *base, int32_t w, int64_t i) {
+  if (!base || w <= 0) return p;
+  const char *s = base + (int64_t)w * i;
+  int32_t n = 0;
+  while (n < w && s[n]) n++;
+  memcpy(p, s, n);
+  return p + n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Format one collected span's passing rows as alignment-results TSV rows
+// (align/pipeline.py TSV_HEADER; reference schema recovered in SURVEY §2.4):
+//   features \t score \t cb \t umi \t cb \t umi \t pos1 \t pos2
+//            \t r1_fwd \t r2_fwd \t gn \n
+// The Python f-string loop emitted ~0.6M rows/s and sat on the pipeline's
+// critical path (docs/PERF.md round-3); this loop runs >50M rows/s.
+//
+// uniq_id[i] indexes the deduplicated feature-string pool (feat_bytes +
+// feat_offs, n_uniq+1 offsets) — the resolve step already dedups bitsets,
+// so strings are materialized once per ambiguity class, not per read.
+// cb/umi/gn are optional fixed-width numpy S-dtype columns (NULL = emit
+// empty fields); pos1/pos2 optional int32 (NULL = empty fields, the
+// reference's FASTQ-input behavior).
+// Returns bytes written, or -1 if out_cap is too small.
+int64_t nt_format_rows(int64_t n_rows, const int32_t *uniq_id,
+                       const uint8_t *keep, const char *feat_bytes,
+                       const int64_t *feat_offs, const int32_t *score,
+                       const int32_t *f1, const int32_t *f2, const char *cb,
+                       int32_t cb_w, const char *umi, int32_t umi_w,
+                       const char *gn, int32_t gn_w, const int32_t *pos1,
+                       const int32_t *pos2, char *out, int64_t out_cap) {
+  char *p = out;
+  char *end = out + out_cap;
+  for (int64_t i = 0; i < n_rows; i++) {
+    if (!keep[i]) continue;
+    const int32_t u = uniq_id[i];
+    const int64_t flen = feat_offs[u + 1] - feat_offs[u];
+    // worst-case row: feat + 2*(cb+umi) + gn + 5 ints (<=20 chars) + 11 seps
+    if (p + flen + 2 * (cb_w + umi_w) + gn_w + 5 * 20 + 12 > end) return -1;
+    memcpy(p, feat_bytes + feat_offs[u], flen);
+    p += flen;
+    *p++ = '\t';
+    p = put_int(p, score[i]);
+    *p++ = '\t';
+    p = put_fixed(p, cb, cb_w, i);
+    *p++ = '\t';
+    p = put_fixed(p, umi, umi_w, i);
+    *p++ = '\t';
+    p = put_fixed(p, cb, cb_w, i);
+    *p++ = '\t';
+    p = put_fixed(p, umi, umi_w, i);
+    *p++ = '\t';
+    if (pos1) p = put_int(p, pos1[i]);
+    *p++ = '\t';
+    if (pos2) p = put_int(p, pos2[i]);
+    *p++ = '\t';
+    p = put_int(p, f1[i]);
+    *p++ = '\t';
+    p = put_int(p, f2[i]);
+    *p++ = '\t';
+    p = put_fixed(p, gn, gn_w, i);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

@@ -58,20 +58,42 @@ class EmitConfig:
     max_hits_to_report: int
 
 
-def resolve_features(
+def _unique_rows(bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(uniq_rows, inverse) like np.unique(bits, axis=0) but ~20x faster.
+
+    np.unique(axis=0) lexsorts W columns (~1s at 524k x 4, squarely on the
+    emission critical path; docs/PERF.md round-3). Hashing each row to one
+    int64 and uniquing scalars is near-linear. Exactness is verified by
+    comparing every row against its representative; a 64-bit collision
+    (probability ~n^2/2^64) falls back to the exact path. Unique rows come
+    out in hash order, not lexicographic — callers never rely on order.
+    """
+    n, W = bits.shape
+    if n == 0:
+        return bits, np.zeros(0, dtype=np.int64)
+    mult = np.random.default_rng(0xC0FFEE).integers(
+        1, 1 << 62, size=W, dtype=np.int64
+    ) | 1
+    with np.errstate(over="ignore"):
+        h = (bits.astype(np.int64) * mult[None, :]).sum(axis=1)
+    _, first, inverse = np.unique(h, return_index=True, return_inverse=True)
+    uniq = bits[first]
+    if not np.array_equal(uniq[inverse], bits):  # hash collision
+        return np.unique(bits, axis=0, return_inverse=True)
+    return uniq, inverse
+
+
+def resolve_features_compact(
     index: KmerIndex, bits: np.ndarray, emit: EmitConfig
-) -> Tuple[List[str], np.ndarray]:
-    """Decode device bitsets into reported feature strings.
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Decode device bitsets into per-ambiguity-class feature strings.
 
     Applies group_on collapse then the set-size filters. Returns
-    (feature_string per read, keep mask); dropped reads get ''.
-
-    Decoding is deduplicated over identical bitsets (reads of the same
-    ambiguity class share one decode + string join), so the cost is
-    O(unique classes) per batch, not O(reads).
+    (feature_string per unique class, keep mask per unique class, inverse
+    map read -> class), so downstream emission materializes each class
+    string once, not once per read.
     """
-    n = bits.shape[0]
-    uniq, inverse = np.unique(bits, axis=0, return_inverse=True)
+    uniq, inverse = _unique_rows(bits)
     member = decode_bitsets(uniq, index.n_features)
     rows, cols = np.nonzero(member)
     if emit.group_on:
@@ -98,8 +120,16 @@ def resolve_features(
         u_features[i] = ",".join(sorted(names[g] for g in ids))
         u_keep[i] = True
 
-    features = [u_features[j] for j in inverse]
-    return features, u_keep[inverse]
+    return u_features, u_keep, inverse
+
+
+def resolve_features(
+    index: KmerIndex, bits: np.ndarray, emit: EmitConfig
+) -> Tuple[List[str], np.ndarray]:
+    """Per-read view of resolve_features_compact: (feature_string per read,
+    keep mask per read); dropped reads get ''."""
+    u_features, u_keep, inverse = resolve_features_compact(index, bits, emit)
+    return [u_features[j] for j in inverse], u_keep[inverse]
 
 
 def trimmed_lens(lens: np.ndarray, trim: Tuple[int, float]) -> np.ndarray:
@@ -172,14 +202,22 @@ class LibraryRunner:
         return self.emit_out(out, batch)
 
     def emit_out(self, out, batch) -> int:
-        """Append this library's passing rows from host-numpy outputs."""
+        """Append this library's passing rows from host-numpy outputs.
+
+        The hot path formats rows in C++ (io.native.format_rows, >50M
+        rows/s); the Python f-string loop below is the fallback when the
+        native library is unavailable (it capped the whole CLI at ~0.6M
+        rows/s on the emission critical path; docs/PERF.md round-3)."""
         if out is None:
             return 0
         pass_ = out["pass_"]
-        features, keep = resolve_features(self.index, out["bits"], self.emit)
-        keep &= pass_
-
-        idxs = np.nonzero(keep)[0]
+        u_features, u_keep, inverse = resolve_features_compact(
+            self.index, out["bits"], self.emit
+        )
+        keep = u_keep[inverse] & pass_
+        n_kept = int(np.count_nonzero(keep))
+        if n_kept == 0:
+            return 0
         cbs = batch.get("cbs")
         umis = batch.get("umis")
         poss = batch.get("poss")
@@ -187,6 +225,31 @@ class LibraryRunner:
         score = out["score"]
         f1 = out["r1_fwd"]
         f2 = out["r2_fwd"]
+
+        from nimble_tpu.io import native
+
+        if native.available():
+            pos_arr = (
+                np.asarray(poss, dtype=np.int32) if poss is not None else None
+            )
+            buf = native.format_rows(
+                inverse,
+                keep,
+                u_features,
+                score,
+                f1,
+                f2,
+                cbs=cbs,
+                umis=umis,
+                gns=gns,
+                pos1=pos_arr[:, 0] if pos_arr is not None else None,
+                pos2=pos_arr[:, 1] if pos_arr is not None else None,
+            )
+            self._file.write(buf)
+            self.rows_written += n_kept
+            return n_kept
+
+        idxs = np.nonzero(keep)[0]
         lines = []
         for i in idxs:
             cb = cbs[i] if cbs is not None else ""
@@ -194,7 +257,7 @@ class LibraryRunner:
             pos1, pos2 = poss[i] if poss is not None else ("", "")
             gn = gns[i] if gns is not None else ""
             lines.append(
-                f"{features[i]}\t{score[i]}\t{cb}\t{umi}\t{cb}\t{umi}\t"
+                f"{u_features[inverse[i]]}\t{score[i]}\t{cb}\t{umi}\t{cb}\t{umi}\t"
                 f"{pos1}\t{pos2}\t{f1[i]}\t{f2[i]}\t{gn}\n"
             )
         self._file.write("".join(lines).encode())
@@ -837,6 +900,46 @@ def align_files(
 
             inflight = deque()  # (reads_end, n, handles, span_batch, span_idx)
 
+            def patch_short(r, out, sb):
+                # group-probe short-read repair (align/host_probe.py): rows
+                # whose shortest mate is under k+g-1 get exact host mono
+                # results instead of the group path's unmapped verdict
+                group_g = (
+                    stacked.group_g
+                    if stacked is not None
+                    else (r.engine.params.group_g if r.engine else 0)
+                )
+                if out is None or group_g < 2:
+                    return
+                l1 = trimmed_lens(sb["r1_lens"], r.trim)
+                if int(l1.min(initial=1 << 30)) >= r.index.k + group_g - 1 and (
+                    not paired
+                    or int(
+                        trimmed_lens(sb["r2_lens"], r.trim).min(
+                            initial=1 << 30
+                        )
+                    )
+                    >= r.index.k + group_g - 1
+                ):
+                    return  # fast path: no short reads in this span
+                from nimble_tpu.align.host_probe import (
+                    HostMonoProber,
+                    patch_short_reads,
+                )
+
+                prober = getattr(r, "_short_prober", None)
+                if prober is None:
+                    prober = HostMonoProber(r.index, r.config, strand_filter)
+                    r._short_prober = prober
+                l2 = trimmed_lens(sb["r2_lens"], r.trim) if paired else None
+                n_rows = min(len(l1), out["pass_"].shape[0])
+                patched = patch_short_reads(
+                    prober, out, sb, l1[:n_rows],
+                    l2[:n_rows] if l2 is not None else None, group_g,
+                )
+                if patched:
+                    log.event("short_read_patch", rows=patched)
+
             def finalize(entry):
                 nonlocal total
                 reads_end, n, handles, sb, span_idx = entry
@@ -846,10 +949,12 @@ def align_files(
                 if stacked is not None:
                     outs = stacked.collect_async(handles)
                     for r, out in zip(runners, outs or []):
+                        patch_short(r, out, sb)
                         r.emit_out(out, sb)
                 else:
                     for r, h in zip(runners, handles):
                         out = r.engine.collect_async(h)
+                        patch_short(r, out, sb)
                         r.emit_out(out, sb)
                 total += n
                 tput.add(n)

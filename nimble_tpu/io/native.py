@@ -57,12 +57,118 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_void_p,
     ]
+    lib.nt_format_rows.restype = ctypes.c_int64
+    lib.nt_format_rows.argtypes = [
+        ctypes.c_int64,   # n_rows
+        ctypes.c_void_p,  # uniq_id
+        ctypes.c_void_p,  # keep
+        ctypes.c_char_p,  # feat_bytes
+        ctypes.c_void_p,  # feat_offs
+        ctypes.c_void_p,  # score
+        ctypes.c_void_p,  # f1
+        ctypes.c_void_p,  # f2
+        ctypes.c_void_p,  # cb
+        ctypes.c_int32,   # cb_w
+        ctypes.c_void_p,  # umi
+        ctypes.c_int32,   # umi_w
+        ctypes.c_void_p,  # gn
+        ctypes.c_int32,   # gn_w
+        ctypes.c_void_p,  # pos1
+        ctypes.c_void_p,  # pos2
+        ctypes.c_void_p,  # out
+        ctypes.c_int64,   # out_cap
+    ]
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def _fixed_bytes(col) -> tuple:
+    """Optional string column -> (contiguous S-dtype array or None, width)."""
+    if col is None:
+        return None, 0
+    arr = np.asarray(col, dtype="S")
+    if arr.size == 0:
+        return None, 0
+    w = arr.dtype.itemsize
+    return np.ascontiguousarray(arr), w
+
+
+def format_rows(
+    uniq_id: np.ndarray,
+    keep: np.ndarray,
+    feat_strings,
+    score: np.ndarray,
+    f1: np.ndarray,
+    f2: np.ndarray,
+    cbs=None,
+    umis=None,
+    gns=None,
+    pos1=None,
+    pos2=None,
+) -> bytes:
+    """Format passing rows as alignment-results TSV via nt_format_rows.
+
+    uniq_id indexes feat_strings (one string per deduplicated ambiguity
+    class); keep masks rows; cbs/umis/gns are optional per-row string
+    sequences, pos1/pos2 optional per-row ints. Returns the encoded rows.
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(uniq_id)
+    uniq_id = np.ascontiguousarray(uniq_id, dtype=np.int32)
+    keep_u8 = np.ascontiguousarray(keep, dtype=np.uint8)
+    pool = [s.encode() for s in feat_strings]
+    feat_bytes = b"".join(pool)
+    feat_offs = np.zeros(len(pool) + 1, dtype=np.int64)
+    if pool:
+        np.cumsum([len(b) for b in pool], out=feat_offs[1:])
+    score = np.ascontiguousarray(score, dtype=np.int32)
+    f1 = np.ascontiguousarray(f1, dtype=np.int32)
+    f2 = np.ascontiguousarray(f2, dtype=np.int32)
+    cb_arr, cb_w = _fixed_bytes(cbs)
+    umi_arr, umi_w = _fixed_bytes(umis)
+    gn_arr, gn_w = _fixed_bytes(gns)
+    p1 = np.ascontiguousarray(pos1, dtype=np.int32) if pos1 is not None else None
+    p2 = np.ascontiguousarray(pos2, dtype=np.int32) if pos2 is not None else None
+
+    # exact-ish capacity bound: per-row feature length + fixed worst case
+    flens = (feat_offs[1:] - feat_offs[:-1])[uniq_id]
+    kept = keep_u8.astype(bool)
+    cap = int(flens[kept].sum()) + int(kept.sum()) * (
+        2 * (cb_w + umi_w) + gn_w + 5 * 20 + 12
+    ) + 64
+    out = np.empty(cap, dtype=np.uint8)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    wrote = lib.nt_format_rows(
+        n,
+        ptr(uniq_id),
+        ptr(keep_u8),
+        feat_bytes,
+        ptr(feat_offs),
+        ptr(score),
+        ptr(f1),
+        ptr(f2),
+        ptr(cb_arr),
+        cb_w,
+        ptr(umi_arr),
+        umi_w,
+        ptr(gn_arr),
+        gn_w,
+        ptr(p1),
+        ptr(p2),
+        ptr(out),
+        cap,
+    )
+    if wrote < 0:
+        raise RuntimeError("nt_format_rows capacity bound violated")
+    return out[:wrote].tobytes()
 
 
 class NativeFastqFile:

@@ -89,17 +89,33 @@ class Throughput:
         self.total = 0
         self._next = report_every
         self.t0 = time.time()
+        self._last_t = self.t0
+        self._last_total = 0
 
     def add(self, n: int) -> None:
         self.total += n
         if self.total >= self._next:
-            dt = time.time() - self.t0
+            now = time.time()
+            dt = now - self.t0
             rate = self.total / dt if dt > 0 else 0.0
+            # marginal rate since the last report separates steady state
+            # from the JIT-compile-dominated first interval
+            mdt = now - self._last_t
+            marg = (self.total - self._last_total) / mdt if mdt > 0 else 0.0
             print(
-                f"Processed {self.total} reads ({rate:,.0f} reads/s)", flush=True
+                f"Processed {self.total} reads "
+                f"({rate:,.0f} reads/s cumulative, {marg:,.0f} current)",
+                flush=True,
             )
             if self.log:
-                self.log.event("throughput", reads=self.total, reads_per_s=round(rate, 1))
+                self.log.event(
+                    "throughput",
+                    reads=self.total,
+                    reads_per_s=round(rate, 1),
+                    current_reads_per_s=round(marg, 1),
+                )
+            self._last_t = now
+            self._last_total = self.total
             self._next += self.report_every
 
     def final(self) -> Dict[str, float]:
