@@ -115,6 +115,10 @@ MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 # (W=8 -> 304 bytes at MONO_SLOTS=4)
 GROUP_MAX_WORDS = 8
 
+# wide-W (W > 32) intersection: class_bits rows gathered RUN_BLOCK run-start
+# classes at a time inside a data-adaptive while_loop (intersect_class_bits)
+RUN_BLOCK = 8
+
 # auto chunk sizing: the axon relay imposes a ~5ms fixed cost per device
 # call (measured: window-only == tiny-gather == ~5.5ms at any geometry,
 # scripts/ablate_group4.py), so throughput scales with chunk size until the
@@ -164,8 +168,21 @@ def auto_chunk_size(
         per_read = Q * S * (2 + 2 * W + 1) + 4 * Q * W + 10 * PP + 6 * P
     elif W <= INLINE_BITS_MAX_WORDS:
         per_read = P * S * (2 + 2 * W) + 2 * P * W + 10 * P
+    elif group_ok and index.has_pairs:
+        # wide groupcls path: probe rows S*(2+2g+1) per group position plus
+        # the runs intersection's per-iteration (chunk, RUN_BLOCK, W) block
+        g = index.pair_g
+        PP = max(L - (k + g - 1) + 1, 1)
+        Q = (PP + g - 1) // g + 1
+        per_read = (
+            Q * MONO_SLOTS * (2 + 2 * g + 1)
+            + 6 * Q * g
+            + 10 * PP
+            + RUN_BLOCK * W
+        )
     else:
-        per_read = P * (4 * S + 2 * W) + 10 * P
+        # wide monocls (or two-choice fallback) path
+        per_read = P * 4 * MONO_SLOTS + 12 * P + RUN_BLOCK * W
     return _chunk_from_per_read(per_read, paired)
 
 
@@ -223,6 +240,10 @@ def _device_tables(index: KmerIndex, inline_ok: bool = True, group_ok: bool = Tr
     group = None
     if inline and group_ok and index.has_pairs and W <= GROUP_MAX_WORDS:
         group = _build_group_tables(index, bits_of)
+    elif not inline and group_ok and index.has_pairs:
+        # wide feature space: group probe with class-id payload (bitsets
+        # resolved by the runs-compacted intersection)
+        group = _build_groupcls_tables(index)
     if group is not None:
         # the group probe fully replaces the mono probe (the tail probe also
         # hits the group table), so skip building mono tables
@@ -231,6 +252,12 @@ def _device_tables(index: KmerIndex, inline_ok: bool = True, group_ok: bool = Tr
         mono = _build_mono_tables(index, bits_of)
         if mono is not None:
             tables.update(mono)
+    else:
+        # wide feature space, no group entries: single-hash class-id table
+        # (one row gather per window vs the two-choice probe's two)
+        mcls = _build_monocls_tables(index)
+        if mcls is not None:
+            tables.update(mcls)
     return tables
 
 
@@ -439,6 +466,127 @@ def _build_mono_tables(index: KmerIndex, bits_of):
         "mono_stash_lo": jnp.asarray(ms_lo),
         "mono_stash_vs_bits": jnp.asarray(ms_vsb),
         "mono_stash_vd_bits": jnp.asarray(ms_vdb),
+    }
+
+
+def _build_monocls_tables(index: KmerIndex):
+    """Wide-W (W > INLINE_BITS_MAX_WORDS) single-hash table whose payload is
+    CLASS IDS instead of inlined bitsets: entry [hi, lo, val_same, val_diff]
+    (4 words), planar row [hi x S | lo x S | vs x S | vd x S] — ONE 64-byte
+    row gather per window replaces the two-choice probe's two gathers, and
+    the feature bitsets are resolved afterwards by the runs-compacted
+    intersection (intersect_class_bits). Exact mono semantics at any W.
+    Returns None when placement blows the memory/stash budget (caller keeps
+    the two-choice probe)."""
+    occ = (index.table_vsame >= 0) | (index.table_vdiff >= 0)
+    socc = (index.stash_vsame >= 0) | (index.stash_vdiff >= 0)
+    hi = np.concatenate([index.table_hi[occ], index.stash_hi[socc]])
+    lo = np.concatenate([index.table_lo[occ], index.stash_lo[socc]])
+    vs = np.concatenate([index.table_vsame[occ], index.stash_vsame[socc]])
+    vd = np.concatenate([index.table_vdiff[occ], index.stash_vdiff[socc]])
+    if hi.shape[0] == 0:
+        return None
+    placement = _single_hash_placement(hi, lo, 4, MONO_SLOTS)
+    if placement is None:
+        return None
+    nb2, b, s, keys, skeys = placement
+
+    S = MONO_SLOTS
+    table = np.zeros((nb2, S * 4), dtype=np.int32)
+    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+    table[:, 2 * S :] = -1  # class planes default to miss
+    table[b, s] = hi[keys].view(np.int32)
+    table[b, S + s] = lo[keys].view(np.int32)
+    table[b, 2 * S + s] = vs[keys]
+    table[b, 3 * S + s] = vd[keys]
+
+    n_stash = skeys.shape[0]
+    pad = max(1, n_stash)
+    ms = {
+        "hi": np.full(pad, -1, dtype=np.int32),  # padding can never match
+        "lo": np.zeros(pad, dtype=np.int32),
+        "vs": np.full(pad, -1, dtype=np.int32),
+        "vd": np.full(pad, -1, dtype=np.int32),
+    }
+    if n_stash:
+        ms["hi"][:n_stash] = hi[skeys].view(np.int32)
+        ms["lo"][:n_stash] = lo[skeys].view(np.int32)
+        ms["vs"][:n_stash] = vs[skeys]
+        ms["vd"][:n_stash] = vd[skeys]
+    return {
+        "mcls_bucket": jnp.asarray(table),
+        "mcls_stash_hi": jnp.asarray(ms["hi"]),
+        "mcls_stash_lo": jnp.asarray(ms["lo"]),
+        "mcls_stash_vs": jnp.asarray(ms["vs"]),
+        "mcls_stash_vd": jnp.asarray(ms["vd"]),
+    }
+
+
+def _build_groupcls_tables(index: KmerIndex):
+    """Wide-W group-probe table: single-hash buckets over the canonical
+    (k+g-1)-mer entries with the g windows' CLASS IDS as payload (the
+    narrow-W group table pre-ANDs W-word bitsets per slot, which at W=625
+    would make 20 KB rows):
+
+      [hi x S | lo x S | cls cols (2g, S) | mask x S]
+
+    cols 0..g-1 = canonical code's window classes (vs), cols g..2g-1 = its
+    reverse complement's (vd); mask packs the same four g-bit presence
+    fields as _build_group_tables. One 240-byte row gather (g=6) answers g
+    windows in both orientations; the intersection resolves class ids to
+    bitsets afterwards (runs-compacted, intersect_class_bits). Same
+    conservative divergence semantics as the narrow group probe."""
+    g = index.pair_g
+    hi = index.pair_hi
+    lo = index.pair_lo
+    vals = index.pair_vals
+    n = hi.shape[0]
+    if n == 0 or g > 8:
+        return None
+    entry = 2 + 2 * g + 1
+    placement = _single_hash_placement(hi, lo, entry, MONO_SLOTS)
+    if placement is None:
+        return None
+    nb2, b, s, keys, skeys = placement
+
+    present = (vals >= 0).astype(np.int32)
+    vs_mask = np.zeros(n, dtype=np.int32)
+    vd_mask = np.zeros(n, dtype=np.int32)
+    for i in range(g):
+        vs_mask |= present[:, i] << i
+        vd_mask |= present[:, g + i] << i
+    rev = lambda m: sum(((m >> i) & 1) << (g - 1 - i) for i in range(g))
+    mask_word = (
+        vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
+    )
+
+    S = MONO_SLOTS
+    table = np.zeros((nb2, S * entry), dtype=np.int32)
+    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+    table[:, 2 * S : 2 * S + 2 * g * S] = -1  # class planes default to miss
+    table[b, s] = hi[keys].view(np.int32)
+    table[b, S + s] = lo[keys].view(np.int32)
+    for c in range(2 * g):
+        table[b, 2 * S + c * S + s] = vals[keys, c]
+    table[b, 2 * S + 2 * g * S + s] = mask_word[keys]
+
+    n_stash = skeys.shape[0]
+    pad = max(1, n_stash)
+    gs_hi = np.full(pad, -1, dtype=np.int32)
+    gs_lo = np.zeros(pad, dtype=np.int32)
+    gs_cols = np.full((pad, 2 * g), -1, dtype=np.int32)
+    gs_mask = np.zeros(pad, dtype=np.int32)
+    if n_stash:
+        gs_hi[:n_stash] = hi[skeys].view(np.int32)
+        gs_lo[:n_stash] = lo[skeys].view(np.int32)
+        gs_cols[:n_stash] = vals[skeys]
+        gs_mask[:n_stash] = mask_word[skeys]
+    return {
+        "groupcls_bucket": jnp.asarray(table),
+        "groupcls_stash_hi": jnp.asarray(gs_hi),
+        "groupcls_stash_lo": jnp.asarray(gs_lo),
+        "groupcls_stash_cols": jnp.asarray(gs_cols),
+        "groupcls_stash_mask": jnp.asarray(gs_mask),
     }
 
 
@@ -767,6 +915,38 @@ def mono_probe(
     return jnp.where(v, bits_f, 0), jnp.where(v, bits_r, 0)
 
 
+def lookup_monocls(hi, lo, valid, tables, k: int):
+    """Wide-W single-hash probe: ONE row gather per window answers both
+    orientations' CLASS IDS (bitsets resolved later by the runs-compacted
+    intersection). Returns (cls_fwd, cls_rev) int32, -1 = miss."""
+    c_hi, c_lo, fwd_is_canon, palindrome = _canonical_keys(hi, lo, k)
+    nb2 = tables["mcls_bucket"].shape[0]
+    h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb2)
+    hi_i = _bitcast_i32(c_hi)
+    lo_i = _bitcast_i32(c_lo)
+    S = tables["mcls_bucket"].shape[1] // 4
+    row = tables["mcls_bucket"][h1.astype(jnp.int32)]  # (B, P, 4S)
+    bk_hi = row[..., 0:S]
+    bk_lo = row[..., S : 2 * S]
+    # empty slots hold the impossible key hi = -1: no occupancy check needed
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None])
+    # at most one slot matches (keys unique): max-select it (miss -> -1)
+    vs = jnp.max(jnp.where(match, row[..., 2 * S : 3 * S], -1), axis=-1)
+    vd = jnp.max(jnp.where(match, row[..., 3 * S : 4 * S], -1), axis=-1)
+    n_stash = tables["mcls_stash_hi"].shape[0]
+    for s in range(n_stash):
+        m = (tables["mcls_stash_hi"][s] == hi_i) & (
+            tables["mcls_stash_lo"][s] == lo_i
+        )
+        vs = jnp.where(m, tables["mcls_stash_vs"][s], vs)
+        vd = jnp.where(m, tables["mcls_stash_vd"][s], vd)
+    cls_fwd = jnp.where(fwd_is_canon, vs, vd)
+    cls_rev = jnp.where(palindrome, vs, jnp.where(fwd_is_canon, vd, vs))
+    cls_fwd = jnp.where(valid, cls_fwd, -1)
+    cls_rev = jnp.where(valid, cls_rev, -1)
+    return cls_fwd, cls_rev
+
+
 def group_probe(hi_i, lo_i, h1, fwd_c, valid, tables, W: int, g: int):
     """Group-table probe from precomputed canonical (k+g-1)-mer keys: ONE
     row gather per probe position answers g read windows in both
@@ -873,6 +1053,114 @@ def _score_mate_group(codes, lens, tables, p: "AlignParams"):
     )
 
 
+def groupcls_probe(hi_i, lo_i, h1, fwd_c, valid, tables, g: int):
+    """Wide-W group-table probe: one row gather per probe position answers g
+    windows' CLASS IDS in both orientations. Returns
+    (cls_f, cls_r, mask_f, mask_r): per-window class columns, (B, Q*g)
+    int32 (-1 = miss; column q*g+i is the window at probe position + i, for
+    both orientations in forward coordinates), plus the g-bit presence
+    masks, (B, Q) int32, matching group_probe's mask semantics.
+
+    Orientation algebra (see group_probe): a group F == canonical X takes
+    forward window i from X's vs column i and reverse-orientation window i
+    (forward coordinates) from vd column g-1-i; F == revcomp(X) swaps vs/vd."""
+    B, Q = hi_i.shape
+    entry_cols = 2 * g
+    S = tables["groupcls_bucket"].shape[1] // (2 + entry_cols + 1)
+    row = tables["groupcls_bucket"][h1.astype(jnp.int32)]  # (B, Q, S*entry)
+    bk_hi = row[..., 0:S]
+    bk_lo = row[..., S : 2 * S]
+    # empty slots hold the impossible key hi = -1: no occupancy check needed
+    match = (bk_hi == hi_i[..., None]) & (bk_lo == lo_i[..., None])
+    sel = match[:, :, None, :]  # (B, Q, 1, S)
+    cols = row[..., 2 * S : 2 * S + entry_cols * S].reshape(B, Q, entry_cols, S)
+    # at most one slot matches (keys unique): max-select it (miss -> -1)
+    vals = jnp.max(jnp.where(sel, cols, -1), axis=3)  # (B, Q, 2g)
+    mword = jnp.where(match, row[..., 2 * S + entry_cols * S :], 0).sum(axis=2)
+    n_stash = tables["groupcls_stash_hi"].shape[0]
+    for s in range(n_stash):
+        m = (tables["groupcls_stash_hi"][s] == hi_i) & (
+            tables["groupcls_stash_lo"][s] == lo_i
+        )
+        vals = jnp.where(m[..., None], tables["groupcls_stash_cols"][s], vals)
+        mword = mword | jnp.where(m, tables["groupcls_stash_mask"][s], 0)
+
+    vs_cols = vals[..., :g]
+    vd_cols = vals[..., g:]
+    fc = fwd_c[..., None]
+    cls_f = jnp.where(fc, vs_cols, vd_cols)  # (B, Q, g)
+    cls_r = jnp.where(fc, vd_cols, vs_cols)[..., ::-1]  # reversed within g
+    v = valid[..., None]
+    cls_f = jnp.where(v, cls_f, -1).reshape(B, Q * g)
+    cls_r = jnp.where(v, cls_r, -1).reshape(B, Q * g)
+    gmask = jnp.int32((1 << g) - 1)
+    mask_f = jnp.where(fwd_c, mword, mword >> 8) & gmask
+    mask_r = jnp.where(fwd_c, mword >> 24, mword >> 16) & gmask
+    mask_f = jnp.where(valid, mask_f, 0)
+    mask_r = jnp.where(valid, mask_r, 0)
+    return cls_f, cls_r, mask_f, mask_r
+
+
+def _score_mate_groupcls(codes, lens, tables, p: "AlignParams"):
+    """Wide-W group-probe scoring path: identical probe grid + tail scheme
+    and score/mask semantics as _score_mate_group, but the probe yields
+    per-window CLASS IDS and the intersection is the runs-compacted
+    class-bits AND (intersect_class_bits). The orientation is selected
+    BEFORE the intersection, so only one orientation's classes gather
+    bitset rows. Same conservative divergences as the narrow group path
+    (error-broken (k+g-1)-mers, reads shorter than k+g-1)."""
+    g = p.group_g
+    kg = p.k + g - 1
+    B, L = codes.shape
+    P = L - p.k + 1  # k-windows
+    PP = L - kg + 1  # group positions
+    nb = tables["groupcls_bucket"].shape[0]
+    if p.window_kernel:
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        hi_i, lo_i, h1, _h2, fwd_c, _palin, valid = kmer_keys_pallas(
+            codes, lens, kg, nb
+        )
+    else:
+        hi, lo, valid = kmer_hi_lo(codes, lens, kg)
+        c_hi, c_lo, fwd_c, _palin = _canonical_keys(hi, lo, kg)
+        h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb)
+        hi_i, lo_i = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
+
+    # grid probes at 0, g, 2g, ... plus ONE per-read tail probe at
+    # j* = len-kg (one-hot extraction; see _score_mate_group)
+    jstar = jnp.clip(lens - kg, 0, PP - 1)
+    onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
+
+    cat = []
+    for a in (hi_i, lo_i, h1, fwd_c, valid):
+        t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(axis=1, keepdims=True)
+        cat.append(jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1))
+    cls_f, cls_r, mask_f, mask_r = groupcls_probe(*cat, tables, g)
+    Q = cat[0].shape[1] - 1
+
+    score_f = coverage_score(
+        group_win_matched(mask_f, Q, g, P, jstar), lens, p.k, L, 1
+    )
+    score_r = coverage_score(
+        group_win_matched(mask_r, Q, g, P, jstar), lens, p.k, L, 1
+    )
+    if p.strand_filter == "fiveprime":
+        use_fwd = jnp.ones_like(score_f, dtype=bool)
+    elif p.strand_filter == "threeprime":
+        use_fwd = jnp.zeros_like(score_f, dtype=bool)
+    else:  # unstranded: higher-scoring orientation, ties -> forward
+        use_fwd = score_f >= score_r
+
+    # the AND is order-independent and duplicate classes are idempotent, so
+    # the (grid + tail) column stream feeds the runs intersection directly —
+    # tail columns duplicating grid windows cost at most one extra run
+    cls_sel = jnp.where(use_fwd[:, None], cls_f, cls_r)
+    bits = intersect_class_bits(cls_sel, cls_sel >= 0, tables["class_bits"])
+    score = jnp.where(use_fwd, score_f, score_r)
+    return bits, score, score_f, score_r
+
+
 def group_win_matched(mask, Q: int, g: int, P: int, jstar):
     """Per-window matched bools (B, P) in window coordinates from group-probe
     masks (B, Q+1): unpack the g-bit grid masks (probe q answers windows
@@ -935,7 +1223,16 @@ def and_reduce_bits(rows: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:
 def intersect_class_bits(class_ids, matched, class_bits):
     """Bitwise-AND of class bitsets over matched positions -> (B, W) uint32.
     Misses contribute the identity (all ones). Reads with zero matched
-    positions end with all-zero bitsets (unmapped)."""
+    positions end with all-zero bitsets (unmapped).
+
+    Wide feature spaces (W > 32) use RUNS-COMPACTED gathering: consecutive
+    windows almost always repeat the previous window's equivalence class
+    (classes change only at SNP/feature-boundary crossings), and AND is
+    idempotent, so gathering ONE class_bits row per run of equal consecutive
+    ids is exact. A while_loop over RUN_BLOCK-slot blocks trips
+    ceil(max_runs_in_chunk / RUN_BLOCK) times — data-adaptive, vs the old
+    fori_loop's P sequential (B, W)-row gathers (20k-allele measurement:
+    docs/PERF.md round 3)."""
     B, P = class_ids.shape
     W = class_bits.shape[1]
     ones = jnp.full((B, W), -1, dtype=jnp.int32)  # all-ones bit pattern
@@ -943,13 +1240,42 @@ def intersect_class_bits(class_ids, matched, class_bits):
     if W <= 32:
         rows = class_bits[jnp.clip(class_ids, 0, None)]  # (B, P, W)
         return and_reduce_bits(rows, matched)
-    else:
-        def body(p, acc):
-            row = class_bits[jnp.clip(class_ids[:, p], 0, None)]  # (B, W)
-            return acc & jnp.where(matched[:, p, None], row, jnp.int32(-1))
 
-        acc = jax.lax.fori_loop(0, P, body, ones)
+    cls = jnp.where(matched, class_ids, -1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -2, dtype=jnp.int32), cls[:, :-1]], axis=1
+    )
+    newrun = matched & (cls != prev)  # run starts (over-marking is harmless)
+    rank = jnp.cumsum(newrun.astype(jnp.int32), axis=1) - 1
+    max_runs = jnp.max(jnp.sum(newrun.astype(jnp.int32), axis=1))
+    db = jnp.arange(RUN_BLOCK, dtype=jnp.int32)
 
+    def cond(st):
+        blk, _ = st
+        return blk * RUN_BLOCK < max_runs
+
+    def body(st):
+        blk, acc = st
+        base = blk * RUN_BLOCK
+        # slot-select the next RUN_BLOCK run-start classes per read via a
+        # one-hot rank compare (no scatter/sort: both are slow on TPU)
+        hit = newrun[:, :, None] & (
+            rank[:, :, None] == (base + db)[None, None, :]
+        )
+        ids = jnp.max(jnp.where(hit, cls[:, :, None], -1), axis=1)  # (B, Db)
+        rows = class_bits[jnp.clip(ids, 0, None)]  # (B, Db, W)
+        rows = jnp.where(ids[..., None] >= 0, rows, jnp.int32(-1))
+        n = RUN_BLOCK
+        while n > 1:  # halving AND tree over the block axis
+            half = n // 2
+            lower = rows[:, :half] & rows[:, half : 2 * half]
+            if n % 2:
+                lower = lower.at[:, 0].set(lower[:, 0] & rows[:, -1])
+            rows = lower
+            n = half
+        return blk + 1, acc & rows[:, 0]
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), ones))
     any_match = jnp.any(matched, axis=1)
     return jnp.where(any_match[:, None], acc, jnp.int32(0))
 
@@ -991,6 +1317,8 @@ def _score_mate(codes, lens, tables, p: AlignParams):
     invariant under the coordinate reflection)."""
     if p.group_g >= 2 and "group_bucket" in tables:
         return _score_mate_group(codes, lens, tables, p)
+    if p.group_g >= 2 and "groupcls_bucket" in tables:
+        return _score_mate_groupcls(codes, lens, tables, p)
 
     inline = "stash_vs_bits" in tables  # static: bitsets inlined in buckets
     mono = inline and "mono_bucket" in tables
@@ -1036,7 +1364,12 @@ def _score_mate(codes, lens, tables, p: AlignParams):
         matched_f = jnp.any(bits_f_w != 0, axis=-1)
         matched_r = jnp.any(bits_r_w != 0, axis=-1)
     else:
-        cls_f, cls_r = lookup_classes(hi, lo, valid, tables, p.n_buckets, p.k)
+        if "mcls_bucket" in tables:
+            cls_f, cls_r = lookup_monocls(hi, lo, valid, tables, p.k)
+        else:
+            cls_f, cls_r = lookup_classes(
+                hi, lo, valid, tables, p.n_buckets, p.k
+            )
         matched_f = cls_f >= 0
         matched_r = cls_r >= 0
 
@@ -1169,9 +1502,13 @@ class AlignEngine:
         # are probed at stride 1 (the group grid subsumes striding)
         import os as _os
 
+        # (wide feature spaces W > INLINE_BITS_MAX_WORDS use the class-id
+        # group table, _build_groupcls_tables, so no W cap applies; widths
+        # between GROUP_MAX_WORDS and the inline cap keep the mono probe)
+        W = index.bitset_words
         group_ok = (
             index.has_pairs
-            and index.bitset_words <= GROUP_MAX_WORDS
+            and (W <= GROUP_MAX_WORDS or W > INLINE_BITS_MAX_WORDS)
             and self.params.stride == 1
             and self.max_len >= index.k + index.pair_g - 1
             and _os.environ.get("NIMBLE_TPU_NO_GROUP_PROBE", "") != "1"
@@ -1208,7 +1545,7 @@ class AlignEngine:
         else:
             self.tables = _device_tables(index, group_ok=group_ok)
             jit_kwargs = {}
-        if "group_bucket" in self.tables:
+        if "group_bucket" in self.tables or "groupcls_bucket" in self.tables:
             import dataclasses as _dc
 
             self.params = _dc.replace(self.params, group_g=index.pair_g)
