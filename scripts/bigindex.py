@@ -87,9 +87,13 @@ def main():
     t0 = time.time()
     engine = AlignEngine(index, config, chunk_size=None, max_len=READ_LEN)
     chunk = engine.chunk_size
-    print(f"engine path: inline={'stash_vs_bits' in engine.tables} "
-          f"mono={'mono_bucket' in engine.tables} "
-          f"group={'group_bucket' in engine.tables} chunk={chunk} "
+    path = next(
+        (k for k in ("group_bucket", "gband_bucket", "groupcls_bucket",
+                     "mono_bucket", "mcls_bucket") if k in engine.tables),
+        "two-choice",
+    )
+    print(f"engine path: {path} inline={'stash_vs_bits' in engine.tables} "
+          f"banded_runs={'class_bandrow' in engine.tables} chunk={chunk} "
           f"(tables to device in {time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 

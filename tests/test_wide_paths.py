@@ -164,6 +164,194 @@ def test_groupcls_noisy_matches_group_oracle(wide_lib):
             assert set(np.nonzero(member[i])[0]) == feats
 
 
+@pytest.fixture(scope="module")
+def family_lib():
+    """8 families x 300 alleles on DISTINCT backbones: every equivalence
+    class's features are contiguous within one 300-feature family span, so
+    the banded class representation engages (span ~10 words, Pw=16,
+    3*Pw <= W=75)."""
+    rng = np.random.default_rng(47)
+    seqs = []
+    for fam in range(8):
+        bb = rand_seq(rng, 400)
+        for a in range(300):
+            s = list(bb)
+            for pos in rng.integers(0, 400, size=5):
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            seqs.append("".join(s))
+    return seqs
+
+
+def build_banded(seqs, cfg, group, max_len):
+    from nimble_tpu.align.engine import _build_class_bands
+
+    data = make_data(seqs)
+    index = build_index(data, cfg, k=K)
+    assert index.bitset_words > 32
+    bands = _build_class_bands(index)
+    assert bands is not None, "banding infeasible for this fixture"
+    engine = AlignEngine(index, cfg, max_len=max_len, group_probe=group)
+    if group:
+        assert "gband_bucket" in engine.tables, "banded group path inactive"
+        assert engine.params.group_g >= 2
+    else:
+        assert "mcls_bucket" in engine.tables
+        assert "class_bandrow" in engine.tables, "banded runs path inactive"
+    return index, engine
+
+
+def test_banded_mono_matches_oracle(family_lib):
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    index, engine = build_banded(family_lib, cfg, group=False, max_len=100)
+    rng = np.random.default_rng(53)
+    reads = sample_reads(rng, family_lib, 24, read_len=100, error_rate=0.02)
+    reads += [r[:30] + "N" + r[31:] for r in
+              sample_reads(rng, family_lib, 6, read_len=100)]
+    out = run(engine, reads)
+    kmap = oracle_kmer_map(family_lib, K)
+    member = decode_bitsets(out["bits"], index.n_features)
+    for i, read in enumerate(reads):
+        score, feats, sf, sr = oracle_best(read, kmap, K, index.n_features)
+        assert out["r1_fwd"][i] == sf, (i, read)
+        assert out["r1_rev"][i] == sr, (i, read)
+        if feats:
+            assert out["score"][i] == score
+            assert set(np.nonzero(member[i])[0]) == feats, i
+        else:
+            assert out["score"][i] == 0
+            assert not member[i].any()
+
+
+def test_banded_group_clean_identical_to_mono(family_lib):
+    from nimble_tpu.index.builder import _group_g
+
+    kg = K + _group_g() - 1
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    rng = np.random.default_rng(59)
+    reads = []
+    for rl in (100, 101, kg, kg + 1):
+        reads += sample_reads(rng, family_lib, 8, read_len=rl)
+    reads += [s[:80] for s in family_lib[::301]]
+    reads += [seqmod.revcomp(s[-80:]) for s in family_lib[::301]]
+    _, eng_m = build_banded(family_lib, cfg, group=False, max_len=101)
+    _, eng_g = build_banded(family_lib, cfg, group=True, max_len=101)
+    mono = run(eng_m, reads)
+    grp = run(eng_g, reads)
+    for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
+        np.testing.assert_array_equal(grp[key], mono[key], err_msg=key)
+
+
+def test_banded_group_noisy_matches_group_oracle(family_lib):
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    index, engine = build_banded(family_lib, cfg, group=True, max_len=100)
+    rng = np.random.default_rng(61)
+    reads = sample_reads(rng, family_lib, 24, read_len=100, error_rate=0.03)
+    out = run(engine, reads)
+    kmap = oracle_kmer_map(family_lib, K)
+    pairset = oracle_pair_set(family_lib, K, index.pair_g)
+    member = decode_bitsets(out["bits"], index.n_features)
+    for i, read in enumerate(reads):
+        sf, ff = oracle_group_mate(read, kmap, pairset, K, index.pair_g, "fwd")
+        sr, fr = oracle_group_mate(read, kmap, pairset, K, index.pair_g, "rev")
+        score, feats = (sf, ff) if sf >= sr else (sr, fr)
+        assert out["r1_fwd"][i] == sf, (i, read)
+        assert out["r1_rev"][i] == sr, (i, read)
+        if not feats:
+            assert out["score"][i] == 0
+            assert not member[i].any()
+        else:
+            assert out["score"][i] == score
+            assert set(np.nonzero(member[i])[0]) == feats
+
+
+def test_band_combine_page_algebra():
+    """Unit-pin the page-banded combine: same page, +-1 page, disjoint."""
+    import jax.numpy as jnp
+
+    from nimble_tpu.align.engine import _band_combine
+
+    Pw = 8
+    b1 = np.zeros((1, 1, 16), np.int32)
+    b2 = np.zeros((1, 1, 16), np.int32)
+    b1[0, 0, :] = 0b1111
+    b2[0, 0, :] = 0b0110
+    t = jnp.asarray(True).reshape(1, 1)
+
+    def go(p1, p2):
+        pg, bd, has = _band_combine(
+            jnp.full((1, 1), p1), jnp.asarray(b1), t,
+            jnp.full((1, 1), p2), jnp.asarray(b2), t, Pw,
+        )
+        return int(pg[0, 0]), np.asarray(bd)[0, 0], bool(has[0, 0])
+
+    pg, bd, has = go(3, 3)  # same page: plain AND
+    assert pg == 3 and has and (bd == 0b0110).all()
+    pg, bd, has = go(2, 3)  # b1 one page lower: its upper page overlaps
+    assert pg == 3
+    assert (bd[:Pw] == 0b0110).all() and (bd[Pw:] == 0).all()
+    pg, bd, has = go(3, 2)  # symmetric case
+    assert pg == 3
+    assert (bd[:Pw] == 0b0110).all() and (bd[Pw:] == 0).all()
+    pg, bd, has = go(0, 5)  # disjoint: empty intersection, has stays set
+    assert has and (bd == 0).all()
+
+
+def test_align_mesh_feature_split_wide_library(tmp_path):
+    """Wide library through the align CLI on the virtual mesh with the
+    class-bitset matrix split over the feature axis (data=4,feature=2):
+    output equals the single-device run byte-for-byte (clean reads, so the
+    mesh path's mono probe agrees with the default group path)."""
+    from nimble_tpu.__main__ import main as cli
+    from nimble_tpu.io.fasta import write_fasta
+    from nimble_tpu.io.fastq import write_fastq
+
+    rng = np.random.default_rng(67)
+    seqs = []
+    for fam in range(8):
+        bb = rand_seq(rng, 300)
+        for a in range(150):
+            s = list(bb)
+            for pos in rng.integers(0, 300, size=4):
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            seqs.append("".join(s))
+    fasta = str(tmp_path / "wide.fasta")
+    write_fasta(fasta, [(f"f{i:04d}", s) for i, s in enumerate(seqs)])
+    library = str(tmp_path / "wide.json")
+    assert cli(["generate", "--file", fasta, "--output_path", library]) == 0
+
+    reads = []
+    for r in range(96):
+        s = seqs[(r * 13) % len(seqs)]
+        pos = int(rng.integers(0, len(s) - 80))
+        rd = s[pos : pos + 80]
+        if r % 2:
+            rd = seqmod.revcomp(rd)
+        reads.append((f"r{r}", rd, "I" * 80))
+    fastq = str(tmp_path / "reads.fastq")
+    write_fastq(fastq, reads)
+
+    base = str(tmp_path / "base.tsv")
+    meshed = str(tmp_path / "mesh.tsv")
+    assert cli([
+        "align", "--reference", library, "--output", base,
+        "--input", fastq, "--chunk-size", "32",
+    ]) == 0
+    assert cli([
+        "align", "--reference", library, "--output", meshed,
+        "--input", fastq, "--chunk-size", "32",
+        "--mesh", "data=4,feature=2",
+    ]) == 0
+    with open(base, "rb") as f:
+        b = f.read()
+    with open(meshed, "rb") as f:
+        m = f.read()
+    assert b == m
+    # reads covering an allele-private SNP resolve under the
+    # max_hits_to_report=10 cap; backbone-only reads' ~150-allele ambiguity
+    # classes are legitimately dropped by that cap
+    assert b.count(b"\n") > 40
+
+
 def test_wide_paired_end(wide_lib):
     cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
     data = make_data(wide_lib)
