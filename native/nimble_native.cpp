@@ -305,6 +305,22 @@ void nt_pack_2bit(const int8_t *codes, const int32_t *lens, int64_t n,
   }
 }
 
+// Offset of the n-th (1-based) newline in buf, or -1. Drives the threaded
+// reader's record-boundary cutting on contiguous (libdeflate-inflated)
+// buffers; memchr runs SIMD so this walks at several GB/s.
+int64_t nt_find_nth_newline(const char *buf, int64_t len, int64_t n) {
+  const char *p = buf;
+  const char *end = buf + len;
+  int64_t count = 0;
+  while (p < end) {
+    const char *q = (const char *)memchr(p, '\n', (size_t)(end - p));
+    if (!q) return -1;
+    if (++count == n) return (int64_t)(q - buf);
+    p = q + 1;
+  }
+  return -1;
+}
+
 // Vectorized batch base-encoding: seqs is a packed buffer of n sequences at
 // given offsets/lengths -> codes [n, max_len] + lens [n].
 void nt_encode_batch(const char *seqs, const int64_t *offs,
@@ -987,6 +1003,54 @@ extern "C" {
 // empty fields); pos1/pos2 optional int32 (NULL = empty fields, the
 // reference's FASTQ-input behavior).
 // Returns bytes written, or -1 if out_cap is too small.
+// Deduplicated ambiguity-class resolution: for each unique bitset row
+// (CSR: bounds/cols over the membership matrix, cols already group-mapped
+// by the caller), sort its feature ids by LEXICOGRAPHIC NAME order
+// (lexrank), dedup, apply the Config set-size filters, and emit the
+// comma-joined name string. Replaces a per-row numpy unique + sorted +
+// join loop that cost ~20 us/row on the emission critical path
+// (docs/PERF.md round-3). names/name_offs are in lex order; lexrank maps
+// feature id -> lex position. Returns bytes written to out, or -1 on
+// overflow. out_offs has n_u+1 entries; dropped rows get empty strings.
+int64_t nt_resolve_classes(int64_t n_u, const int64_t *bounds,
+                           const int32_t *cols, const int32_t *lexrank,
+                           const char *names, const int64_t *name_offs,
+                           int32_t discard_multiple, int32_t discard_multi,
+                           int32_t max_hits, uint8_t *keep, char *out,
+                           int64_t out_cap, int64_t *out_offs) {
+  char *p = out;
+  char *end = out + out_cap;
+  std::vector<int32_t> ranks;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < n_u; i++) {
+    keep[i] = 0;
+    const int64_t s = bounds[i], e = bounds[i + 1];
+    if (e > s) {
+      ranks.clear();
+      for (int64_t j = s; j < e; j++) ranks.push_back(lexrank[cols[j]]);
+      std::sort(ranks.begin(), ranks.end());
+      ranks.erase(std::unique(ranks.begin(), ranks.end()), ranks.end());
+      const int64_t k = (int64_t)ranks.size();
+      const bool drop = (discard_multiple && k > 1) ||
+                        (discard_multi > 0 && k > discard_multi) ||
+                        (k > max_hits);
+      if (!drop) {
+        for (int64_t j = 0; j < k; j++) {
+          const int32_t r = ranks[j];
+          const int64_t len = name_offs[r + 1] - name_offs[r];
+          if (p + len + 1 > end) return -1;
+          if (j) *p++ = ',';
+          memcpy(p, names + name_offs[r], (size_t)len);
+          p += len;
+        }
+        keep[i] = 1;
+      }
+    }
+    out_offs[i + 1] = p - out;
+  }
+  return p - out;
+}
+
 int64_t nt_format_rows(int64_t n_rows, const int32_t *uniq_id,
                        const uint8_t *keep, const char *feat_bytes,
                        const int64_t *feat_offs, const int32_t *score,

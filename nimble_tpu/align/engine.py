@@ -31,6 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import os
+
 import numpy as np
 
 import jax
@@ -800,6 +802,155 @@ def unpack_outputs(flat: np.ndarray, W: int, valid: int) -> dict:
         "r2_fwd": hi(1),
         "r2_rev": lo(2),
         "pass_": (hi(2) & 1).astype(bool),
+    }
+
+
+class CompactOverflow(Exception):
+    """Compact-output spill buffer overflowed; rerun the span full-format."""
+
+
+def compact_chunk_len(C: int, W: int, H: int, SP: int) -> int:
+    """Flat int32 length of one compact-format chunk."""
+    return 2 * C + H * W + SP * (W + 1) + 8
+
+
+def pack_outputs_compact(out: dict, H: int, SP: int) -> jnp.ndarray:
+    """Dictionary-compacted wire format for align_step outputs.
+
+    The relay wire moves ~30-60 MB/s half-duplex with no RPC overlap
+    (scripts/overlap_probe.py), so output bytes bound end-to-end CLI
+    throughput. Distinct result bitsets per chunk are few (intersections of
+    library equivalence classes), so per read we ship 2 int32:
+
+      w0 = score | r1_fwd<<16
+      w1 = slot | r2_fwd<<16 | pass_<<30 | miss<<31
+
+    plus a per-chunk slot dictionary (H x W: two-choice placed bitsets)
+    and a spill buffer (SP x (1+W): row id + bitset) for rows whose bitset
+    lost both candidate slots. w1 layout (fixed, independent of H):
+    slot = bits 0..13 (so H <= 16384), r2_fwd = bits 14..27, pass = 28,
+    miss = 29. Non-pass rows are excluded from the dictionary (their bits
+    reconstruct as zeros; emission masks them and the short-read patch
+    overwrites them). Exact: the host reconstructs a bit-identical `bits`
+    matrix, or raises CompactOverflow when spill > SP (collect_async then
+    reruns that span in the full format). rev scores are not shipped (no
+    downstream consumer; unpack returns zeros).
+
+    Sizing: a 1%-error 100bp workload shows ~11k distinct bitsets per 64k
+    reads (mostly singleton error-window intersections), so single-choice
+    placement at H=4096 spilled ~14k rows/chunk; two-choice at H=16384
+    keeps spill in the hundreds.
+    """
+    bits = out["bits"]
+    C, W = bits.shape
+    score = out["score"].astype(jnp.int32)
+    f1 = out["r1_fwd"].astype(jnp.int32)
+    f2 = out["r2_fwd"].astype(jnp.int32)
+    pass_ = out["pass_"].astype(jnp.int32)
+    is_pass = pass_ == 1
+
+    def mix(seed):
+        h = jnp.full((C,), jnp.int32(seed))
+        for wi in range(W):
+            h = (h ^ bits[:, wi]) * jnp.int32(-1640531527)
+            h = h ^ jax.lax.shift_right_logical(h, 15)
+        return h & jnp.int32(H - 1)
+
+    def rows_equal(a):
+        eq = a == bits
+        m = eq[:, 0]
+        for wi in range(1, W):
+            m = m & eq[:, wi]
+        return m
+
+    h1 = mix(0)
+    h2 = mix(0x2545F491)
+    table = (
+        jnp.zeros((H, W), jnp.int32)
+        .at[jnp.where(is_pass, h1, jnp.int32(H))]
+        .set(bits, mode="drop")
+    )
+    occ = (
+        jnp.zeros((H,), jnp.int32)
+        .at[jnp.where(is_pass, h1, jnp.int32(H))]
+        .set(1, mode="drop")
+    )
+    m1 = rows_equal(table[h1])
+    cand2 = is_pass & ~m1 & (occ[h2] == 0)
+    table = table.at[jnp.where(cand2, h2, jnp.int32(H))].set(bits, mode="drop")
+    m2 = rows_equal(table[h2])
+    use2 = ~m1 & m2
+    slot = jnp.where(use2, h2, h1)
+    miss = is_pass & ~(m1 | m2)
+    miss_i = miss.astype(jnp.int32)
+    pos = jnp.cumsum(miss_i) - 1
+    sidx = jnp.where(miss & (pos < SP), pos, jnp.int32(SP))
+    rowid = jnp.arange(C, dtype=jnp.int32)
+    spill_vals = jnp.concatenate([rowid[:, None], bits], axis=1)
+    spill = (
+        jnp.zeros((SP, W + 1), jnp.int32).at[sidx].set(spill_vals, mode="drop")
+    )
+    counters = jnp.zeros((8,), jnp.int32).at[0].set(jnp.sum(miss_i))
+    w0 = score | (f1 << 16)
+    w1 = slot | (f2 << 14) | (pass_ << 28) | (miss_i << 29)
+    per_read = jnp.stack([w0, w1], axis=1).reshape(-1)
+    return jnp.concatenate(
+        [per_read, table.reshape(-1), spill.reshape(-1), counters]
+    )
+
+
+def unpack_outputs_compact(
+    flat: np.ndarray, C: int, H: int, SP: int, valid: int
+) -> dict:
+    """Host-side inverse of pack_outputs_compact over S stacked chunks."""
+    # W is determined by exact size match (compact_chunk_len is strictly
+    # increasing in W for fixed C,H,SP)
+    W = S = 0
+    for w in range(2, GROUP_MAX_WORDS + 1):
+        L = compact_chunk_len(C, w, H, SP)
+        if flat.size % L == 0:
+            W, S = w, flat.size // L
+            break
+    if W == 0:
+        raise ValueError("not a compact-format payload")
+    arr = flat.reshape(S, compact_chunk_len(C, W, H, SP))
+    bits = np.zeros((S * C, W), np.int32)
+    score = np.empty(S * C, np.int32)
+    f1 = np.empty(S * C, np.int32)
+    f2 = np.empty(S * C, np.int32)
+    pas = np.empty(S * C, np.int32)
+    for s in range(S):
+        a = arr[s]
+        pr = a[: 2 * C].reshape(C, 2)
+        table = a[2 * C : 2 * C + H * W].reshape(H, W)
+        spill = a[2 * C + H * W : 2 * C + H * W + SP * (W + 1)].reshape(
+            SP, W + 1
+        )
+        n_spill = int(a[-8])
+        if n_spill > SP:
+            raise CompactOverflow(f"{n_spill} spill rows > cap {SP}")
+        w0 = pr[:, 0]
+        w1 = pr[:, 1]
+        lo, hi = s * C, (s + 1) * C
+        score[lo:hi] = w0 & 0xFFFF
+        f1[lo:hi] = (w0 >> 16) & 0xFFFF
+        f2[lo:hi] = (w1 >> 14) & 0x3FFF
+        p = (w1 >> 28) & 1
+        pas[lo:hi] = p
+        b = table[w1 & 0x3FFF]
+        b[p == 0] = 0
+        if n_spill:
+            b[spill[:n_spill, 0]] = spill[:n_spill, 1:]
+        bits[lo:hi] = b
+    zeros = np.zeros(valid, np.int32)
+    return {
+        "bits": bits[:valid],
+        "score": score[:valid],
+        "r1_fwd": f1[:valid],
+        "r1_rev": zeros,
+        "r2_fwd": f2[:valid],
+        "r2_rev": zeros.copy(),
+        "pass_": pas[:valid].astype(bool),
     }
 
 
@@ -1863,6 +2014,9 @@ class AlignEngine:
         group_probe: Optional[bool] = None,
         chunk_cap: Optional[int] = None,
         scan_chunks: Optional[int] = None,
+        compact_out: Optional[bool] = None,
+        compact_slots: Optional[int] = None,
+        compact_spill: Optional[int] = None,
     ):
         self.index = index
         self.config = config
@@ -2008,14 +2162,69 @@ class AlignEngine:
         self._fn_packed_in = jax.jit(
             lambda t, *xs: pack_outputs(align_step(t, p, *packed_to_codes(xs)))
         )
+        # compact wire codec (pack_outputs_compact): on by default for the
+        # scanned TPU dispatch path — the relay wire is the e2e bottleneck.
+        # Off by default elsewhere: the codec returns zero rev scores, and
+        # CPU differential tests compare every output key.
+        if compact_out is None:
+            env = os.environ.get("NIMBLE_TPU_COMPACT_OUT", "1")
+            if env == "0":
+                compact_out = False
+            elif env == "force":
+                compact_out = True
+            else:
+                try:
+                    compact_out = jax.default_backend() == "tpu"
+                except Exception:
+                    compact_out = False
+        self.compact_out = bool(compact_out)
+        self.compact_slots = int(
+            compact_slots
+            if compact_slots is not None
+            else os.environ.get("NIMBLE_TPU_COMPACT_SLOTS", "16384")
+        )
+        self.compact_spill = int(
+            compact_spill
+            if compact_spill is not None
+            else os.environ.get("NIMBLE_TPU_COMPACT_SPILL", "8192")
+        )
+        # slot = hash & (H-1) needs a power-of-two dictionary; the w1
+        # layout holds a 14-bit slot field
+        self.compact_slots = min(
+            16384, max(2, 1 << (self.compact_slots - 1).bit_length())
+        )
+
         self._scan_fn_packed = None
         self._scan_fn_packed_dense = None
+        self._scan_fn_packed_full = None
+        self._scan_fn_packed_dense_full = None
         if self.scan_chunks > 1:
             S, C = self.scan_chunks, self.chunk_size
             self.sidecar_cap = max(256, (S * C) // 16)
             cap = self.sidecar_cap
+            cH, cSP = self.compact_slots, self.compact_spill
+            use_compact = self.compact_out
+            if use_compact:
+                # format detection in collect_async is by payload-size
+                # divisibility: disable compact whenever a full-format
+                # payload (S*C*(W'+3) for any plausible W') could be
+                # divisible by a compact chunk length, so detection is exact
+                full_totals = [S * C * (w + 3) for w in range(1, 512)]
+                compact_lens = [
+                    compact_chunk_len(C, w, cH, cSP)
+                    for w in range(2, GROUP_MAX_WORDS + 1)
+                ]
+                if any(ft % lc == 0 for ft in full_totals for lc in compact_lens):
+                    use_compact = False
+                    self.compact_out = False
 
-            def scan_packed(sparse_n, t, *args):
+            def emit(out):
+                W = out["bits"].shape[1]
+                if use_compact and 2 <= W <= GROUP_MAX_WORDS:
+                    return pack_outputs_compact(out, cH, cSP)
+                return pack_outputs(out)
+
+            def scan_packed(sparse_n, emit_fn, t, *args):
                 # per mate: words (S,C,Lw), lens (S,C), then either sidecar
                 # (n_idx (cap,), n_rows (cap,Lf)) or dense nflags (S,C,Lf)
                 stacked = []
@@ -2026,14 +2235,24 @@ class AlignEngine:
                     stacked += [w, l, f]
 
                 def body(carry, xs):
-                    return carry, pack_outputs(align_step(t, p, *packed_to_codes(xs)))
+                    return carry, emit_fn(align_step(t, p, *packed_to_codes(xs)))
 
                 _, outs = jax.lax.scan(body, None, tuple(stacked))
                 return outs.reshape(-1)
 
-            self._scan_fn_packed = jax.jit(lambda t, *a: scan_packed(True, t, *a))
+            self._scan_fn_packed = jax.jit(
+                lambda t, *a: scan_packed(True, emit, t, *a)
+            )
             self._scan_fn_packed_dense = jax.jit(
-                lambda t, *a: scan_packed(False, t, *a)
+                lambda t, *a: scan_packed(False, emit, t, *a)
+            )
+            # full-format fallbacks for compact spill overflow (lazy jit:
+            # compiled only if an overflow ever happens)
+            self._scan_fn_packed_full = jax.jit(
+                lambda t, *a: scan_packed(True, pack_outputs, t, *a)
+            )
+            self._scan_fn_packed_dense_full = jax.jit(
+                lambda t, *a: scan_packed(False, pack_outputs, t, *a)
             )
 
     def _pad(self, arr, n, fill):
@@ -2146,12 +2365,20 @@ class AlignEngine:
                         args = list(a1) + list(a2)
                     else:
                         args += list(a2)
-                fn = (
-                    self._scan_fn_packed
-                    if sparse_all
-                    else self._scan_fn_packed_dense
-                )
-                pending.append((fn(self.tables, *args), end - start))
+                # StackedEngine borrows this method and has no compact codec
+                compact = getattr(self, "compact_out", False)
+                if sparse_all:
+                    fn = self._scan_fn_packed
+                    fn_full = getattr(self, "_scan_fn_packed_full", None)
+                else:
+                    fn = self._scan_fn_packed_dense
+                    fn_full = getattr(self, "_scan_fn_packed_dense_full", None)
+                res = fn(self.tables, *args)
+                if compact and fn_full is not None:
+                    # keep args + full-format fn for spill-overflow rerun
+                    pending.append((res, end - start, fn_full, tuple(args)))
+                else:
+                    pending.append((res, end - start))
             return pending
         # single-chunk path (CPU tests / scan disabled): dense flags
         Lf = (self.max_len + 31) // 32
@@ -2194,9 +2421,24 @@ class AlignEngine:
         mesh pads the bitset width to a multiple of its feature axis, so
         index.bitset_words is a lower bound, not the runtime width)."""
         rows = self.chunk_size * max(self.scan_chunks, 1)
+        C, H, SP = self.chunk_size, self.compact_slots, self.compact_spill
         outs = []
-        for flat, valid in pending:
+        for entry in pending:
+            flat, valid = entry[0], entry[1]
             arr = np.asarray(flat)
+            is_compact = len(entry) >= 4 and any(
+                arr.size % compact_chunk_len(C, w, H, SP) == 0
+                for w in range(2, GROUP_MAX_WORDS + 1)
+            )
+            if is_compact:
+                try:
+                    outs.append(unpack_outputs_compact(arr, C, H, SP, valid))
+                    continue
+                except CompactOverflow:
+                    # pathological collision load: rerun this span in the
+                    # full format (exactness over wire bytes)
+                    fn_full, args = entry[2], entry[3]
+                    arr = np.asarray(fn_full(self.tables, *args))
             W = arr.size // rows - PACKED_EXTRA
             outs.append(unpack_outputs(arr, W, valid))
         if not outs:

@@ -103,9 +103,26 @@ def resolve_features_compact(
         names = index.feature_names
 
     u = member.shape[0]
+    boundaries = np.searchsorted(rows, np.arange(u + 1))
+
+    from nimble_tpu.io import native
+
+    if native.available():
+        lexrank, names_bytes, name_offs = _lex_tables(index, emit.group_on, names)
+        u_keep, pool, pool_offs = native.resolve_classes(
+            boundaries,
+            cols,
+            lexrank,
+            names_bytes,
+            name_offs,
+            emit.discard_multiple_matches,
+            emit.discard_multi_hits,
+            emit.max_hits_to_report,
+        )
+        return (pool, pool_offs), u_keep, inverse
+
     u_features: List[str] = [""] * u
     u_keep = np.zeros(u, dtype=bool)
-    boundaries = np.searchsorted(rows, np.arange(u + 1))
     for i in range(u):
         s, e = boundaries[i], boundaries[i + 1]
         if s == e:
@@ -123,13 +140,46 @@ def resolve_features_compact(
     return u_features, u_keep, inverse
 
 
+def _lex_tables(index: KmerIndex, group_on: bool, names):
+    """Cached per-index lex-order tables for native class resolution:
+    (lexrank: id -> lex position, concatenated lex-ordered name bytes,
+    offsets). Sorting is by the same Python str ordering the fallback's
+    sorted() uses."""
+    cache = getattr(index, "_lex_cache", None)
+    if cache is None:
+        cache = {}
+        index._lex_cache = cache
+    got = cache.get(group_on)
+    if got is None:
+        order = sorted(range(len(names)), key=lambda i: names[i])
+        lexrank = np.empty(len(names), dtype=np.int32)
+        for r, i in enumerate(order):
+            lexrank[i] = r
+        pool = [names[i].encode() for i in order]
+        name_offs = np.zeros(len(pool) + 1, dtype=np.int64)
+        if pool:
+            np.cumsum([len(b) for b in pool], out=name_offs[1:])
+        got = (lexrank, b"".join(pool), name_offs)
+        cache[group_on] = got
+    return got
+
+
+def _feature_str(u_features, j: int) -> str:
+    """Index the resolve_features_compact string pool (list or
+    (bytes, offsets) tuple) as str."""
+    if isinstance(u_features, tuple):
+        pool, offs = u_features
+        return pool[offs[j] : offs[j + 1]].decode()
+    return u_features[j]
+
+
 def resolve_features(
     index: KmerIndex, bits: np.ndarray, emit: EmitConfig
 ) -> Tuple[List[str], np.ndarray]:
     """Per-read view of resolve_features_compact: (feature_string per read,
     keep mask per read); dropped reads get ''."""
     u_features, u_keep, inverse = resolve_features_compact(index, bits, emit)
-    return [u_features[j] for j in inverse], u_keep[inverse]
+    return [_feature_str(u_features, j) for j in inverse], u_keep[inverse]
 
 
 def trimmed_lens(lens: np.ndarray, trim: Tuple[int, float]) -> np.ndarray:
@@ -853,6 +903,7 @@ def align_files(
     tput = Throughput(log)
     failed = False
     stacked = None
+    emit_shutdown = None
     try:
         batches = _make_batches(
             inputs, is_bam, reader_batch, reader_len, num_cores, inflight_batches
@@ -892,13 +943,14 @@ def align_files(
         feeder = SpanFeeder(span, paired)
 
         with profile():
-            # up to `inflight_batches` spans dispatched ahead: JAX async
-            # dispatch queues them on the device while the host finalizes
-            # (transfers + emits) the oldest, so host IO, device compute,
-            # and TSV emission all overlap
-            from collections import deque
-
-            inflight = deque()  # (reads_end, n, handles, span_batch, span_idx)
+            # up to `inflight_batches` spans dispatched ahead; a dedicated
+            # emission worker runs finalize (device collect + short-read
+            # patch + TSV emit) so the main thread only dispatches — host
+            # IO (feeder thread), the device wire, and emission CPU all
+            # overlap. The bounded queue is the in-flight cap: a slow
+            # worker backpressures dispatch.
+            import queue as _equeue
+            import threading as _ethreading
 
             def patch_short(r, out, sb):
                 # group-probe short-read repair (align/host_probe.py): rows
@@ -1013,6 +1065,43 @@ def align_files(
                     )
                 return handles
 
+            emitq: "_equeue.Queue" = _equeue.Queue(
+                maxsize=max(1, inflight_batches)
+            )
+            emit_exc: list = []
+
+            def emit_worker():
+                while True:
+                    item = emitq.get()
+                    try:
+                        if item is None:
+                            return
+                        if not emit_exc:  # after a failure: drain, don't work
+                            finalize(item)
+                    except BaseException as e:  # surfaced via qput/drain
+                        emit_exc.append(e)
+                    finally:
+                        emitq.task_done()
+
+            emit_thread = _ethreading.Thread(target=emit_worker, daemon=True)
+            emit_thread.start()
+
+            def _shutdown_emit():
+                emitq.put(None)
+                emit_thread.join()
+
+            emit_shutdown = _shutdown_emit
+
+            def qput(item):
+                while True:
+                    if emit_exc:
+                        raise emit_exc[0]
+                    try:
+                        emitq.put(item, timeout=0.5)
+                        return
+                    except _equeue.Full:
+                        continue
+
             def dispatch(sb):
                 nonlocal cursor, span_counter
                 n = sb["r1_lens"].shape[0]
@@ -1021,13 +1110,12 @@ def align_files(
                 cursor += n
                 if world_n > 1 and span_idx % world_n != world_pid:
                     return  # another process owns this span
-                inflight.append((cursor, n, submit(sb, n), sb, span_idx))
-                while len(inflight) > max(1, inflight_batches):
-                    finalize(inflight.popleft())
+                qput((cursor, n, submit(sb, n), sb, span_idx))
 
             def drain():
-                while inflight:
-                    finalize(inflight.popleft())
+                emitq.join()
+                if emit_exc:
+                    raise emit_exc[0]
 
             cursor = reads_done
             span_counter = 0
@@ -1136,6 +1224,8 @@ def align_files(
         log.event("align_failed", total=total)
         failed = True
     finally:
+        if emit_shutdown is not None:
+            emit_shutdown()
         for r in runners:
             r.close()
     if failed:

@@ -97,6 +97,70 @@ def _fixed_bytes(col) -> tuple:
     return np.ascontiguousarray(arr), w
 
 
+def resolve_classes(
+    bounds: np.ndarray,
+    cols: np.ndarray,
+    lexrank: np.ndarray,
+    names_bytes: bytes,
+    name_offs: np.ndarray,
+    discard_multiple: bool,
+    discard_multi_hits: int,
+    max_hits: int,
+):
+    """nt_resolve_classes wrapper: CSR membership -> (keep mask, feature
+    string pool bytes, offsets). names_bytes/name_offs are in LEX order;
+    lexrank maps feature id -> lex position."""
+    lib = _load()
+    assert lib is not None
+    if not hasattr(lib, "_resolve_bound"):
+        lib.nt_resolve_classes.restype = ctypes.c_int64
+        lib.nt_resolve_classes.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib._resolve_bound = True
+    n_u = bounds.shape[0] - 1
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    lexrank = np.ascontiguousarray(lexrank, dtype=np.int32)
+    name_offs = np.ascontiguousarray(name_offs, dtype=np.int64)
+    keep = np.empty(n_u, dtype=np.uint8)
+    out_offs = np.empty(n_u + 1, dtype=np.int64)
+    # exact bound: every (row, col) pair contributes its name + 1 comma
+    name_lens = name_offs[1:] - name_offs[:-1]
+    cap = int(name_lens[lexrank[cols]].sum()) + cols.size + 64
+    out = np.empty(cap, dtype=np.uint8)
+    wrote = lib.nt_resolve_classes(
+        n_u,
+        bounds.ctypes.data_as(ctypes.c_void_p),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        lexrank.ctypes.data_as(ctypes.c_void_p),
+        names_bytes,
+        name_offs.ctypes.data_as(ctypes.c_void_p),
+        1 if discard_multiple else 0,
+        int(discard_multi_hits),
+        int(max_hits),
+        keep.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        out_offs.ctypes.data_as(ctypes.c_void_p),
+    )
+    if wrote < 0:
+        raise RuntimeError("nt_resolve_classes capacity overflow")
+    return keep.astype(bool), out[:wrote].tobytes(), out_offs
+
+
 def format_rows(
     uniq_id: np.ndarray,
     keep: np.ndarray,
@@ -121,11 +185,16 @@ def format_rows(
     n = len(uniq_id)
     uniq_id = np.ascontiguousarray(uniq_id, dtype=np.int32)
     keep_u8 = np.ascontiguousarray(keep, dtype=np.uint8)
-    pool = [s.encode() for s in feat_strings]
-    feat_bytes = b"".join(pool)
-    feat_offs = np.zeros(len(pool) + 1, dtype=np.int64)
-    if pool:
-        np.cumsum([len(b) for b in pool], out=feat_offs[1:])
+    if isinstance(feat_strings, tuple):
+        # pre-pooled (bytes, offsets) straight from resolve_classes
+        feat_bytes, feat_offs = feat_strings
+        feat_offs = np.ascontiguousarray(feat_offs, dtype=np.int64)
+    else:
+        pool = [s.encode() for s in feat_strings]
+        feat_bytes = b"".join(pool)
+        feat_offs = np.zeros(len(pool) + 1, dtype=np.int64)
+        if pool:
+            np.cumsum([len(b) for b in pool], out=feat_offs[1:])
     score = np.ascontiguousarray(score, dtype=np.int32)
     f1 = np.ascontiguousarray(f1, dtype=np.int32)
     f2 = np.ascontiguousarray(f2, dtype=np.int32)

@@ -20,6 +20,7 @@ partition is deterministic.
 from __future__ import annotations
 
 import ctypes
+import os
 import queue
 import threading
 import zlib
@@ -31,6 +32,146 @@ import numpy as np
 from nimble_tpu.io import native as _native
 
 _CHUNK_BYTES = 8 << 20
+
+# libdeflate whole-member inflate runs ~2.4x faster than streaming zlib
+# (measured 888 vs 365 MB/s on this host; docs/PERF.md round-3), but needs
+# the whole member's output resident. Files whose COMPRESSED size exceeds
+# this cap fall back to streaming zlib.
+_LIBDEFLATE_MAX_MB = int(
+    os.environ.get("NIMBLE_TPU_LIBDEFLATE_MAX_MB", "2048")
+)
+
+_LD = None
+_LD_TRIED = False
+
+
+def _libdeflate():
+    """ctypes handle to libdeflate with gzip_decompress_ex bound, or None."""
+    global _LD, _LD_TRIED
+    if _LD_TRIED:
+        return _LD
+    _LD_TRIED = True
+    for name in ("libdeflate.so.0", "libdeflate.so", "libdeflate.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            lib = None
+    if lib is None:
+        return None
+    try:
+        lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+        lib.libdeflate_gzip_decompress_ex.restype = ctypes.c_int
+        lib.libdeflate_gzip_decompress_ex.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        return None
+    _LD = lib
+    return _LD
+
+
+def _inflate_whole(path: str) -> Optional[np.ndarray]:
+    """Whole-file gzip inflate via libdeflate (multi-member aware).
+
+    Returns a uint8 array of the decompressed bytes, or None when
+    libdeflate is unavailable / the file exceeds the size cap / the stream
+    is malformed (callers then use streaming zlib, which reports errors
+    properly)."""
+    lib = _libdeflate()
+    if lib is None:
+        return None
+    try:
+        comp = np.fromfile(path, dtype=np.uint8)
+    except OSError:
+        return None
+    if comp.size == 0 or comp.size > _LIBDEFLATE_MAX_MB << 20:
+        return None if comp.size else np.empty(0, np.uint8)
+    # gzip trailer ISIZE (decompressed size mod 2^32 of the LAST member) is
+    # an exact hint for the common single-member case
+    isize = int(comp[-4:].view(np.uint32)[0]) if comp.size >= 4 else 0
+    cap = max(isize, 4 * comp.size, 32 << 20)
+    out = np.empty(cap, np.uint8)
+    d = lib.libdeflate_alloc_decompressor()
+    try:
+        pos = 0
+        written = 0
+        a_in = ctypes.c_size_t(0)
+        a_out = ctypes.c_size_t(0)
+        base_in = comp.ctypes.data
+        while pos < comp.size:
+            while True:
+                rc = lib.libdeflate_gzip_decompress_ex(
+                    d,
+                    base_in + pos,
+                    comp.size - pos,
+                    out.ctypes.data + written,
+                    out.size - written,
+                    ctypes.byref(a_in),
+                    ctypes.byref(a_out),
+                )
+                if rc == 3:  # LIBDEFLATE_INSUFFICIENT_SPACE: grow and retry
+                    grown = np.empty(out.size * 2 + (64 << 20), np.uint8)
+                    grown[:written] = out[:written]
+                    out = grown
+                    continue
+                break
+            if rc != 0:
+                return None  # malformed: let streaming zlib raise cleanly
+            pos += a_in.value
+            written += a_out.value
+            if a_in.value == 0:
+                break  # trailing garbage guard
+        return out[:written]
+    finally:
+        lib.libdeflate_free_decompressor(d)
+
+
+def _find_nth_newline_arr(arr: np.ndarray, start: int, n: int) -> int:
+    """Offset (absolute) of the n-th newline at/after `start`, or -1."""
+    lib = _native._load()
+    if lib is not None:
+        if not hasattr(lib, "_nl_bound"):
+            lib.nt_find_nth_newline.restype = ctypes.c_int64
+            lib.nt_find_nth_newline.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib._nl_bound = True
+        off = lib.nt_find_nth_newline(
+            arr.ctypes.data + start, arr.size - start, n
+        )
+        return start + off if off >= 0 else -1
+    nls = np.flatnonzero(arr[start:] == 10)
+    if nls.size < n:
+        return -1
+    return start + int(nls[n - 1])
+
+
+def _record_buffers_contig(arr: np.ndarray, records_per_batch: int):
+    """Contiguous-buffer variant of _record_buffers: cut a whole inflated
+    file into per-batch views with zero copies. Same deterministic batch
+    partition (every 4*records_per_batch newlines) as the streaming
+    cutter, so output is byte-identical either way."""
+    need_nl = 4 * records_per_batch
+    pos = 0
+    while pos < arr.size:
+        cut = _find_nth_newline_arr(arr, pos, need_nl)
+        if cut < 0:
+            tail = arr[pos:]
+            if tail.size and bytes(tail).strip():
+                yield tail, -1
+            return
+        yield arr[pos : cut + 1], records_per_batch
+        pos = cut + 1
 
 
 def _stream_chunks(path: str, chunk_bytes: int = _CHUNK_BYTES):
@@ -65,7 +206,25 @@ def _stream_chunks(path: str, chunk_bytes: int = _CHUNK_BYTES):
 
 
 def _find_nth_newline(chunk: bytes, n: int) -> int:
-    """Offset of the n-th (1-based) newline in chunk."""
+    """Offset of the n-th (1-based) newline in chunk (native memchr loop
+    when available: the numpy flatnonzero fallback allocates a full index
+    vector per call and was the streaming cutter's dominant cost)."""
+    lib = _native._load()
+    if lib is not None:
+        if not hasattr(lib, "_nl_bound"):
+            lib.nt_find_nth_newline.restype = ctypes.c_int64
+            lib.nt_find_nth_newline.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib._nl_bound = True
+        off = lib.nt_find_nth_newline(
+            ctypes.cast(ctypes.c_char_p(chunk), ctypes.c_void_p), len(chunk), n
+        )
+        if off >= 0:
+            return off
+        raise ValueError("newline count underflow in record cutter")
     arr = np.frombuffer(chunk, dtype=np.uint8)
     nls = np.flatnonzero(arr == 10)
     return int(nls[n - 1])
@@ -106,14 +265,15 @@ def _record_buffers(stream, records_per_batch: int):
         yield tail, -1
 
 
-def _parse_buffer(buf: bytes, n_hint: int, max_len: int, with_strings: bool):
-    """Parse one complete-records buffer via the native layer. Returns the
-    same tuple shape as NativeFastqFile.read_batch."""
+def _parse_buffer(buf, n_hint: int, max_len: int, with_strings: bool):
+    """Parse one complete-records buffer (bytes OR a uint8 ndarray view of
+    a contiguous inflated file) via the native layer. Returns the same
+    tuple shape as NativeFastqFile.read_batch."""
     lib = _native._load()
     if not hasattr(lib, "_parse_bound"):
         lib.nt_fastq_parse_buffer.restype = ctypes.c_int64
         lib.nt_fastq_parse_buffer.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_void_p,
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
@@ -124,8 +284,14 @@ def _parse_buffer(buf: bytes, n_hint: int, max_len: int, with_strings: bool):
             ctypes.c_void_p,
         ]
         lib._parse_bound = True
-    if n_hint < 0:
-        n_hint = buf.count(b"\n") // 4 + 2
+    if isinstance(buf, np.ndarray):
+        ptr = buf.ctypes.data
+        if n_hint < 0:
+            n_hint = int(np.count_nonzero(buf == 10)) // 4 + 2
+    else:
+        ptr = ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p)
+        if n_hint < 0:
+            n_hint = buf.count(b"\n") // 4 + 2
     n = max(n_hint, 1)
     codes = np.empty((n, max_len), dtype=np.int8)
     lens = np.empty(n, dtype=np.int32)
@@ -134,7 +300,7 @@ def _parse_buffer(buf: bytes, n_hint: int, max_len: int, with_strings: bool):
     raw = np.empty(raw_cap, dtype=np.uint8)
     offs = np.empty(n * 3, dtype=np.int64)
     got = lib.nt_fastq_parse_buffer(
-        buf,
+        ptr,
         len(buf),
         n,
         max_len,
@@ -186,16 +352,37 @@ class ThreadedFastqReader:
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
         stop = threading.Event()
 
+        def _buffers_for(path):
+            """Pick the cutter. Both cutters use the same 4*batch-newline
+            partition, so batches are identical either way.
+
+            gz: streaming zlib by default — libdeflate inflates 2.4x
+            faster but needs the whole output resident, and on this class
+            of VM first-touch page faults run at only ~170-280 MB/s
+            (docs/PERF.md round-3), which more than eats the win; hosts
+            with normal memory can opt in via NIMBLE_TPU_WHOLE_INFLATE=1.
+            plain: whole-file contiguous views under the cap (read()
+            lands in recycled page cache; no join copies at all)."""
+            if path.endswith(".gz"):
+                if os.environ.get("NIMBLE_TPU_WHOLE_INFLATE", "") == "1":
+                    arr = _inflate_whole(path)
+                    if arr is not None:
+                        return _record_buffers_contig(arr, self.batch_size)
+                return _record_buffers(_stream_chunks(path), self.batch_size)
+            try:
+                sz = os.path.getsize(path)
+            except OSError:
+                sz = 1 << 62
+            if sz <= (_LIBDEFLATE_MAX_MB << 20) * 5:
+                return _record_buffers_contig(
+                    np.fromfile(path, dtype=np.uint8), self.batch_size
+                )
+            return _record_buffers(_stream_chunks(path), self.batch_size)
+
         def produce():
             try:
-                g1 = _record_buffers(
-                    _stream_chunks(self.r1_path), self.batch_size
-                )
-                g2 = (
-                    _record_buffers(_stream_chunks(self.r2_path), self.batch_size)
-                    if self.r2_path
-                    else None
-                )
+                g1 = _buffers_for(self.r1_path)
+                g2 = _buffers_for(self.r2_path) if self.r2_path else None
                 for buf1, n1 in g1:
                     f1 = pool.submit(
                         _parse_buffer, buf1, n1, self.max_len, self.with_strings
