@@ -823,7 +823,7 @@ def pack_outputs_compact(out: dict, H: int, SP: int) -> jnp.ndarray:
     library equivalence classes), so per read we ship 2 int32:
 
       w0 = score | r1_fwd<<16
-      w1 = slot | r2_fwd<<16 | pass_<<30 | miss<<31
+      w1 = slot | r2_fwd<<14 | pass_<<28 | miss<<29
 
     plus a per-chunk slot dictionary (H x W: two-choice placed bitsets)
     and a spill buffer (SP x (1+W): row id + bitset) for rows whose bitset
@@ -900,19 +900,33 @@ def pack_outputs_compact(out: dict, H: int, SP: int) -> jnp.ndarray:
 
 
 def unpack_outputs_compact(
-    flat: np.ndarray, C: int, H: int, SP: int, valid: int
+    flat: np.ndarray, C: int, H: int, SP: int, valid: int,
+    W: Optional[int] = None,
 ) -> dict:
-    """Host-side inverse of pack_outputs_compact over S stacked chunks."""
-    # W is determined by exact size match (compact_chunk_len is strictly
-    # increasing in W for fixed C,H,SP)
-    W = S = 0
-    for w in range(2, GROUP_MAX_WORDS + 1):
-        L = compact_chunk_len(C, w, H, SP)
-        if flat.size % L == 0:
-            W, S = w, flat.size // L
-            break
-    if W == 0:
-        raise ValueError("not a compact-format payload")
+    """Host-side inverse of pack_outputs_compact over S stacked chunks.
+
+    Pass W (the engine's static bits width) whenever known — size-based
+    inference can misparse when one width's chunk length divides another
+    width's payload. Inference remains only for W=None callers."""
+    if W is not None:
+        L = compact_chunk_len(C, W, H, SP)
+        if flat.size % L != 0:
+            raise ValueError(
+                f"payload size {flat.size} not a multiple of compact chunk "
+                f"length {L} (C={C}, W={W}, H={H}, SP={SP})"
+            )
+        S = flat.size // L
+    else:
+        # W determined by smallest-size match; ambiguous combinations
+        # exist, which is why engine callers pass W explicitly
+        W = S = 0
+        for w in range(2, GROUP_MAX_WORDS + 1):
+            L = compact_chunk_len(C, w, H, SP)
+            if flat.size % L == 0:
+                W, S = w, flat.size // L
+                break
+        if W == 0:
+            raise ValueError("not a compact-format payload")
     arr = flat.reshape(S, compact_chunk_len(C, W, H, SP))
     bits = np.zeros((S * C, W), np.int32)
     score = np.empty(S * C, np.int32)
@@ -2203,24 +2217,22 @@ class AlignEngine:
             self.sidecar_cap = max(256, (S * C) // 16)
             cap = self.sidecar_cap
             cH, cSP = self.compact_slots, self.compact_spill
-            use_compact = self.compact_out
-            if use_compact:
-                # format detection in collect_async is by payload-size
-                # divisibility: disable compact whenever a full-format
-                # payload (S*C*(W'+3) for any plausible W') could be
-                # divisible by a compact chunk length, so detection is exact
-                full_totals = [S * C * (w + 3) for w in range(1, 512)]
-                compact_lens = [
-                    compact_chunk_len(C, w, cH, cSP)
-                    for w in range(2, GROUP_MAX_WORDS + 1)
-                ]
-                if any(ft % lc == 0 for ft in full_totals for lc in compact_lens):
-                    use_compact = False
-                    self.compact_out = False
+            # the packed scan path only exists mesh-less (packed_ok), so
+            # the traced bits width equals index.bitset_words and whether a
+            # span's payload is compact-format is STATIC. No payload-size
+            # sniffing (sizes can collide between formats/widths); collect
+            # trusts the dispatch-time tag and unpack gets W explicitly.
+            self._compact_W = int(index.bitset_words)
+            use_compact = self.compact_out and 2 <= self._compact_W <= GROUP_MAX_WORDS
+            self.compact_out = use_compact
 
             def emit(out):
                 W = out["bits"].shape[1]
-                if use_compact and 2 <= W <= GROUP_MAX_WORDS:
+                if use_compact:
+                    if W != self._compact_W:
+                        raise AssertionError(
+                            f"traced bits width {W} != static {self._compact_W}"
+                        )
                     return pack_outputs_compact(out, cH, cSP)
                 return pack_outputs(out)
 
@@ -2426,13 +2438,16 @@ class AlignEngine:
         for entry in pending:
             flat, valid = entry[0], entry[1]
             arr = np.asarray(flat)
-            is_compact = len(entry) >= 4 and any(
-                arr.size % compact_chunk_len(C, w, H, SP) == 0
-                for w in range(2, GROUP_MAX_WORDS + 1)
-            )
-            if is_compact:
+            # entries carry (fn_full, args) exactly when the span was
+            # dispatched compact-format (align_packed_async) — the format
+            # is static per engine, never inferred from payload size
+            if len(entry) >= 4:
                 try:
-                    outs.append(unpack_outputs_compact(arr, C, H, SP, valid))
+                    outs.append(
+                        unpack_outputs_compact(
+                            arr, C, H, SP, valid, W=self._compact_W
+                        )
+                    )
                     continue
                 except CompactOverflow:
                     # pathological collision load: rerun this span in the

@@ -41,6 +41,15 @@ _LIBDEFLATE_MAX_MB = int(
     os.environ.get("NIMBLE_TPU_LIBDEFLATE_MAX_MB", "2048")
 )
 
+# Plain (uncompressed) files under this cap are np.memmap'd whole — the OS
+# pages them in on demand, so address space (not RAM) is the cost — and
+# cut into contiguous zero-copy record views. Larger files stream in 8 MiB
+# chunks. Distinct knob from the libdeflate cap above: that one bounds a
+# RAM-resident inflate output, this one only bounds a mapping.
+_PLAIN_MMAP_MAX_MB = int(
+    os.environ.get("NIMBLE_TPU_PLAIN_MMAP_MAX_MB", "65536")
+)
+
 _LD = None
 _LD_TRIED = False
 
@@ -361,8 +370,8 @@ class ThreadedFastqReader:
             of VM first-touch page faults run at only ~170-280 MB/s
             (docs/PERF.md round-3), which more than eats the win; hosts
             with normal memory can opt in via NIMBLE_TPU_WHOLE_INFLATE=1.
-            plain: whole-file contiguous views under the cap (read()
-            lands in recycled page cache; no join copies at all)."""
+            plain: whole-file memmap cut into contiguous zero-copy views
+            (the OS pages it; cap NIMBLE_TPU_PLAIN_MMAP_MAX_MB)."""
             if path.endswith(".gz"):
                 if os.environ.get("NIMBLE_TPU_WHOLE_INFLATE", "") == "1":
                     arr = _inflate_whole(path)
@@ -373,9 +382,9 @@ class ThreadedFastqReader:
                 sz = os.path.getsize(path)
             except OSError:
                 sz = 1 << 62
-            if sz <= (_LIBDEFLATE_MAX_MB << 20) * 5:
+            if 0 < sz <= _PLAIN_MMAP_MAX_MB << 20:
                 return _record_buffers_contig(
-                    np.fromfile(path, dtype=np.uint8), self.batch_size
+                    np.memmap(path, dtype=np.uint8, mode="r"), self.batch_size
                 )
             return _record_buffers(_stream_chunks(path), self.batch_size)
 

@@ -68,6 +68,7 @@ def test_compact_tiny_dict_spills(workload):
         index, config, codes, lens, L,
         compact_out=True, compact_slots=2, compact_spill=64,
     )
+    assert eng.compact_out, "compact must be active: spill path untested otherwise"
     for k in EMIT_KEYS:
         assert np.array_equal(full[k], got[k]), k
 
@@ -81,6 +82,7 @@ def test_compact_overflow_falls_back_full(workload):
         index, config, codes, lens, L,
         compact_out=True, compact_slots=2, compact_spill=1,
     )
+    assert eng.compact_out, "compact must be active: fallback path untested otherwise"
     for k in full:
         assert np.array_equal(full[k], got[k]), k
 
