@@ -99,6 +99,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     from nimble_tpu.align.engine import AlignEngine
+    from nimble_tpu.io.packing import pack_batch
 
     index, config, codes, lens = build_workload()
     engine = AlignEngine(index, config, chunk_size=CHUNK, max_len=READ_LEN)
@@ -114,12 +115,42 @@ def main():
         codes = np.tile(codes, (reps, 1))[:span]
         lens = np.tile(lens, reps)[:span]
 
-    # warmup / compile on device-resident inputs (compiling against host
-    # numpy inputs first can pin an executable whose input layouts force a
-    # per-call relayout of device arrays afterwards). The measured program
-    # is the scanned multi-chunk dispatch — the CLI's own operating point
-    # (align_batch_async dispatches scan_chunks chunks per device call).
-    from nimble_tpu.align.engine import PACKED_EXTRA, unpack_outputs
+    # The PRIMARY measured program is the CLI's own operating point: the
+    # packed-wire span dispatch with numpy (host) inputs and the full
+    # packed output transferred back — i.e. exec + H2D + D2H, two spans
+    # in flight like the pipeline keeps (wire_dissect.py leg B2). The
+    # device-resident exec-only rate (old bench) is reported as a
+    # secondary stat: it is the PCIe-host expectation, not what this
+    # relay-tunneled environment delivers end to end (docs/PERF.md
+    # round-4 wire dissection).
+    pb = pack_batch({"r1_codes": codes[:span], "r1_lens": lens[:span]}, READ_LEN)
+
+    t0 = time.time()
+    h = engine.align_packed_async(pb)
+    out = engine.collect_async(h)
+    pass_rate = out["pass_"].mean()
+    log(f"compile+first span ({span} reads): {time.time() - t0:.2f}s; "
+        f"pass rate {pass_rate:.3f}")
+
+    # The TPU behind the relay is multi-tenant (identical executables vary
+    # >4x across minutes), so take the best of several rounds. Each round
+    # dispatches 2 spans (numpy in) and collects both full outputs — the
+    # pipeline's steady-state overlap.
+    rounds = 10
+    best_dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.time()
+        h1 = engine.align_packed_async(pb)
+        h2 = engine.align_packed_async(pb)
+        engine.collect_async(h1)
+        engine.collect_async(h2)
+        dt = time.time() - t0
+        best_dt = min(best_dt, dt)
+    reads_per_s = 2 * span / best_dt
+    log(f"best 2-inflight: 2 x {span} reads in {best_dt:.3f}s")
+
+    # secondary: device-resident exec ceiling (PCIe-host expectation)
+    import jax.numpy as jnp
 
     if S > 1:
         c_dev = jax.device_put(codes[:span].reshape(S, chunk, -1))
@@ -129,48 +160,32 @@ def main():
         c_dev = jax.device_put(codes[:chunk])
         l_dev = jax.device_put(lens[:chunk])
         fn = engine._fn_packed
-    t0 = time.time()
     r = fn(engine.tables, c_dev, l_dev)
     jax.block_until_ready(r)
-    first = np.asarray(r)
-    W = first.size // span - PACKED_EXTRA
-    pass_rate = unpack_outputs(first, W, span)["pass_"].mean()
-    log(f"compile+first call ({span} reads): {time.time() - t0:.2f}s; "
-        f"pass rate {pass_rate:.3f}")
-
-    # measurement forces a result-dependent device reduction + host transfer:
-    # block_until_ready alone does not reliably wait for execution through
-    # the axon relay, so untransferred timings read fantastically low. The
-    # TPU behind the relay is multi-tenant (identical executables vary >4x
-    # across minutes), so we take the best of several bursts — the
-    # speed-of-light estimate for this program on this chip.
-    import jax.numpy as jnp
-
-    burst = 2
-    rounds = 24
-    best_dt = float("inf")
-    checksum = 0
-    for _ in range(rounds):
+    best_exec = float("inf")
+    for _ in range(12):
         t0 = time.time()
         acc = None
-        for _ in range(burst):
+        for _ in range(2):
             packed = fn(engine.tables, c_dev, l_dev)
             acc = packed if acc is None else acc + packed
-        checksum = int(jnp.sum(acc.astype(jnp.int64) & 0xFFFF))
-        dt = time.time() - t0
-        best_dt = min(best_dt, dt)
-    reads_per_s = burst * span / best_dt
+        int(jnp.sum(acc.astype(jnp.int64) & 0xFFFF))
+        best_exec = min(best_exec, time.time() - t0)
+    exec_rate = 2 * span / best_exec
+    log(f"exec ceiling (device-resident): {exec_rate/1e6:.2f} M reads/s")
 
-    log(f"best burst: {burst} calls x {span} reads in {best_dt:.3f}s "
-        f"(checksum {checksum})")
     result = {
         "metric": (
-            "pseudoalign+score throughput (HLA-100 library, 100bp reads; "
-            "baseline = 1.0e6 reads/s CPU-class proxy, see BASELINE.md)"
+            "pseudoalign+score CLI-operating-point throughput: packed wire "
+            "in, full packed output back, 2 spans in flight (HLA-100 "
+            "library, 100bp reads; baseline = 1.0e6 reads/s CPU-class "
+            "proxy, see BASELINE.md; exec_ceiling = device-resident rate, "
+            "the PCIe-host expectation)"
         ),
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "exec_ceiling_reads_per_s": round(exec_rate, 1),
     }
     print(json.dumps(result))
 

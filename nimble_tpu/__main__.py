@@ -68,6 +68,13 @@ def main(argv=None) -> int:
         help="Shard the device UMI pipeline over an N-way data mesh with a "
              "cell-barcode-bucket all-to-all exchange (parallel/dist.py).",
     )
+    report_parser.add_argument(
+        "--stream", action="store_true", default=None,
+        help="Run the exact host pipeline via bounded spill buckets "
+             "(quant/stream.py) so inputs larger than RAM work, "
+             "bit-identically. Default: auto above "
+             "NIMBLE_TPU_REPORT_STREAM_MB (4096).",
+    )
 
     plot_parser = subparsers.add_parser("plot")
     plot_parser.add_argument("--input_file", type=str, required=True)
@@ -132,6 +139,7 @@ def main(argv=None) -> int:
             args.disable_thresholding,
             engine=engine,
             dist_shards=args.distributed,
+            stream=args.stream,
         )
         return 0
     if args.subcommand == "plot":

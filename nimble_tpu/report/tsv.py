@@ -171,6 +171,7 @@ def report(
     disable_thresholding: bool = False,
     engine: str = "host",
     dist_shards: int = 0,
+    stream: Optional[bool] = None,
 ) -> None:
     """The `report` subcommand (reference: __main__.py:254-297).
 
@@ -179,7 +180,29 @@ def report(
     the accelerator (quant/device.py), "distributed" additionally shards
     over a dist_shards-way data mesh with a cb-bucket all-to-all
     (parallel/dist.py). The reference has no equivalent — its report path
-    is single-threaded pandas (reference: __main__.py:254-297)."""
+    is single-threaded pandas (reference: __main__.py:254-297).
+
+    stream: run the host path via bounded spill buckets (quant/stream.py)
+    so inputs larger than RAM work, bit-identically. None = auto: stream
+    when the input exceeds NIMBLE_TPU_REPORT_STREAM_MB (default 4096)."""
+    if engine == "host":
+        if stream is None:
+            cap_mb = int(os.environ.get("NIMBLE_TPU_REPORT_STREAM_MB", "4096"))
+            stream = (
+                os.path.exists(input)
+                and os.path.getsize(input) > cap_mb << 20
+            )
+        if stream:
+            from nimble_tpu.quant.stream import stream_report
+
+            stream_report(
+                input,
+                output,
+                summarize_columns_list,
+                threshold,
+                disable_thresholding,
+            )
+            return
     cols = read_alignment_tsv(input)
     if cols is None:
         write_empty_counts(output)
