@@ -365,7 +365,16 @@ class SpanFeeder:
 
     The sparse N sidecar needs join-aware handling: `<mate>_nidx` holds
     row indices into the batch and `<mate>_nrows` the flag rows at those
-    indices — merges offset the indices, slices rebase them."""
+    indices — merges offset the indices, slices rebase them.
+
+    Skip markers: a batch may arrive as `{"skip": n}` — n records whose
+    bytes the reader never parsed because every span they touch belongs to
+    another process (multi-process decode sharding; io/threaded.py
+    set_skip). Any carved span containing skipped records is emitted as
+    `{"skip": span_count}` (real boundary reads inside it are discarded —
+    by the skip predicate's construction such a span is never owned by
+    this process), so downstream span indexing and read cursors stay
+    exactly aligned with a full-decode run."""
 
     def __init__(self, span: int, paired: bool):
         self.span = span
@@ -373,30 +382,51 @@ class SpanFeeder:
         self.parts: List[dict] = []
         self.count = 0
 
+    @staticmethod
+    def _part_n(p: dict) -> int:
+        return p["skip"] if "skip" in p else p["r1_lens"].shape[0]
+
     def add(self, pb: dict) -> List[dict]:
         self.parts.append(pb)
-        self.count += pb["r1_lens"].shape[0]
-        if self.count < self.span:
-            return []
-        merged = self._merge()
+        self.count += self._part_n(pb)
         out = []
-        n = merged["r1_lens"].shape[0]
-        start = 0
-        while n - start >= self.span:
-            out.append(self._slice(merged, start, start + self.span))
-            start += self.span
-        rest = self._slice(merged, start, n)
-        self.parts = [rest] if rest["r1_lens"].shape[0] else []
-        self.count = n - start
+        while self.count >= self.span:
+            out.append(self._take(self.span))
         return out
+
+    def _take(self, want: int) -> dict:
+        """Consume exactly `want` records from the head of parts."""
+        taken: List[dict] = []
+        need = want
+        while need:
+            p = self.parts[0]
+            n = self._part_n(p)
+            if n <= need:
+                taken.append(self.parts.pop(0))
+                need -= n
+            else:
+                if "skip" in p:
+                    taken.append({"skip": need})
+                    self.parts[0] = {"skip": n - need}
+                else:
+                    taken.append(self._slice(p, 0, need))
+                    self.parts[0] = self._slice(p, need, n)
+                need = 0
+        self.count -= want
+        if any("skip" in p for p in taken):
+            return {"skip": want}
+        save, self.parts = self.parts, taken
+        try:
+            return self._merge()
+        finally:
+            self.parts = save
 
     def flush(self) -> Optional[dict]:
         if self.count == 0:
             return None
-        merged = self._merge()
+        out = self._take(self.count)
         self.parts = []
-        self.count = 0
-        return merged
+        return out
 
     def repack_width(self, Lw: int, Lf: int):
         """Zero-pad buffered packed arrays to wider word counts (after a
@@ -485,18 +515,26 @@ def _make_batches(
     num_cores: int,
     inflight_batches: int,
 ):
-    """Reader iterator over batch dicts (r1_codes/r1_lens[, r2_*][, meta])."""
+    """(batch iterator, reader object or None). Batches are dicts
+    (r1_codes/r1_lens[, r2_*][, meta]); the reader object is returned for
+    readers that support decode sharding (ThreadedFastqReader.set_skip)."""
     if is_bam:
         from nimble_tpu.io import native
 
         if native.available():
-            return native.iter_native_bam_batches(
-                inputs[0], batch_records=batch_records, max_len=max_len
+            return (
+                native.iter_native_bam_batches(
+                    inputs[0], batch_records=batch_records, max_len=max_len
+                ),
+                None,
             )
         from nimble_tpu.io.bam import iter_bam_batches
 
-        return iter_bam_batches(
-            inputs[0], batch_records=batch_records, max_len=max_len
+        return (
+            iter_bam_batches(
+                inputs[0], batch_records=batch_records, max_len=max_len
+            ),
+            None,
         )
     from nimble_tpu.io import native
 
@@ -508,36 +546,41 @@ def _make_batches(
         # (reference: __main__.py:180)
         from nimble_tpu.io.threaded import ThreadedFastqReader
 
-        return iter(
-            ThreadedFastqReader(
-                inputs[0],
-                inputs[1] if len(inputs) == 2 else None,
-                batch_size=batch_records,
-                max_len=max_len,
-                num_threads=num_cores,
-                prefetch=max(2, inflight_batches + 1),
-            )
-        )
-    if native.available():
-        from nimble_tpu.io.native import NativeFastqReader
-
-        return iter(
-            NativeFastqReader(
-                inputs[0],
-                inputs[1] if len(inputs) == 2 else None,
-                batch_size=batch_records,
-                max_len=max_len,
-            )
-        )
-    from nimble_tpu.io.fastq import FastqReader
-
-    return iter(
-        FastqReader(
+        reader = ThreadedFastqReader(
             inputs[0],
             inputs[1] if len(inputs) == 2 else None,
             batch_size=batch_records,
             max_len=max_len,
+            num_threads=num_cores,
+            prefetch=max(2, inflight_batches + 1),
         )
+        return iter(reader), reader
+    if native.available():
+        from nimble_tpu.io.native import NativeFastqReader
+
+        return (
+            iter(
+                NativeFastqReader(
+                    inputs[0],
+                    inputs[1] if len(inputs) == 2 else None,
+                    batch_size=batch_records,
+                    max_len=max_len,
+                )
+            ),
+            None,
+        )
+    from nimble_tpu.io.fastq import FastqReader
+
+    return (
+        iter(
+            FastqReader(
+                inputs[0],
+                inputs[1] if len(inputs) == 2 else None,
+                batch_size=batch_records,
+                max_len=max_len,
+            )
+        ),
+        None,
     )
 
 
@@ -898,14 +941,18 @@ def align_files(
                 f,
             )
 
-    reader_batch = batch_records or (1 << 17)
+    reader_batch = (
+        batch_records
+        or int(os.environ.get("NIMBLE_TPU_READER_BATCH", "0") or 0)
+        or (1 << 17)
+    )
     total = 0
     tput = Throughput(log)
     failed = False
     stacked = None
     emit_shutdown = None
     try:
-        batches = _make_batches(
+        batches, reader_obj = _make_batches(
             inputs, is_bam, reader_batch, reader_len, num_cores, inflight_batches
         )
         # auto max_len: peek the FIRST batch of the file (deterministic
@@ -936,6 +983,27 @@ def align_files(
         )
         eng0 = stacked if stacked is not None else runners[0].engine
         span = eng0.scan_chunks * eng0.chunk_size
+
+        if world_n > 1 and use_packed and reader_obj is not None and hasattr(
+            reader_obj, "set_skip"
+        ):
+            # decode sharding: this process only parses/encodes/packs the
+            # bytes of batches whose every overlapping span it owns (spans
+            # are round-robin by index; the feeder's span size is fixed for
+            # the whole run, so ownership indexing is process-invariant).
+            # Inflate + newline cutting still run everywhere (single-member
+            # gzip is not seekable); the N-times-redundant parse/2-bit-
+            # encode/pack — the dominant decode cost — is eliminated.
+            _span_fixed = span
+
+            def _skip_pred(r0: int, r1: int) -> bool:
+                s0 = r0 // _span_fixed
+                s1 = max(r0, r1 - 1) // _span_fixed
+                return all(
+                    (s % world_n) != world_pid for s in range(s0, s1 + 1)
+                )
+
+            reader_obj.set_skip(_skip_pred)
 
         from itertools import chain
 
@@ -1104,6 +1172,12 @@ def align_files(
 
             def dispatch(sb):
                 nonlocal cursor, span_counter
+                if "skip" in sb:
+                    # span whose bytes this process never decoded; by the
+                    # skip predicate's construction it is never ours
+                    span_counter += 1
+                    cursor += sb["skip"]
+                    return
                 n = sb["r1_lens"].shape[0]
                 span_idx = span_counter
                 span_counter += 1
@@ -1154,6 +1228,13 @@ def align_files(
                         to_skip = reads_done
                         L_cur = L
                         for batch in stream:
+                            if "skip" in batch:
+                                # decode-sharded batch owned by another
+                                # process: count it through the feeder so
+                                # span indexing/cursors stay aligned
+                                for sb in feeder.add(batch):
+                                    spanq.put(("span", sb))
+                                continue
                             n = batch["r1_lens"].shape[0]
                             if to_skip >= n:
                                 to_skip -= n
@@ -1242,5 +1323,12 @@ def align_files(
             log.event("align_merged", total=total, world_n=world_n)
     stats = tput.final()
     log.event("align_done", total=total, **stats)
+    rstats = getattr(reader_obj, "stats", None) if reader_obj is not None else None
+    if rstats and rstats.get("skipped_records"):
+        log.event("decode_shard", **rstats)
+        print(
+            f"Decode shard: parsed {rstats['parsed_records']} "
+            f"skipped {rstats['skipped_records']} records"
+        )
     print(f"Aligned {total} read(-pair)s across {len(runners)} library(ies)")
     return 0

@@ -355,6 +355,17 @@ class ThreadedFastqReader:
         self.num_threads = max(1, num_threads)
         self.prefetch = max(1, prefetch)
         self.with_strings = with_strings
+        # decode sharding (multi-process align): skip(r0, r1) -> True means
+        # records [r0, r1) belong entirely to other processes, so their
+        # bytes are never parsed/encoded — the batch is yielded as a
+        # {"skip": n} marker instead. Installed late (the span size is only
+        # known once engines are built); checked per batch at submit time,
+        # so a racy install merely parses a few extra batches.
+        self._skip = None
+        self.stats = {"parsed_records": 0, "skipped_records": 0}
+
+    def set_skip(self, fn) -> None:
+        self._skip = fn
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -392,24 +403,48 @@ class ThreadedFastqReader:
             try:
                 g1 = _buffers_for(self.r1_path)
                 g2 = _buffers_for(self.r2_path) if self.r2_path else None
+                r0 = 0  # global record index of the next batch
                 for buf1, n1 in g1:
-                    f1 = pool.submit(
-                        _parse_buffer, buf1, n1, self.max_len, self.with_strings
+                    skip = (
+                        n1 > 0
+                        and self._skip is not None
+                        and self._skip(r0, r0 + n1)
                     )
-                    f2 = None
-                    if g2 is not None:
-                        try:
-                            buf2, n2 = next(g2)
-                        except StopIteration:
-                            raise ValueError(
-                                "paired FASTQ files have different record counts"
-                            )
-                        f2 = pool.submit(
-                            _parse_buffer, buf2, n2, self.max_len, self.with_strings
+                    if skip:
+                        # consume (but never parse) the mate buffer too
+                        if g2 is not None:
+                            try:
+                                next(g2)
+                            except StopIteration:
+                                raise ValueError(
+                                    "paired FASTQ files have different "
+                                    "record counts"
+                                )
+                        item = ("skip", n1)
+                    else:
+                        f1 = pool.submit(
+                            _parse_buffer, buf1, n1, self.max_len,
+                            self.with_strings,
                         )
+                        f2 = None
+                        if g2 is not None:
+                            try:
+                                buf2, n2 = next(g2)
+                            except StopIteration:
+                                raise ValueError(
+                                    "paired FASTQ files have different "
+                                    "record counts"
+                                )
+                            f2 = pool.submit(
+                                _parse_buffer, buf2, n2, self.max_len,
+                                self.with_strings,
+                            )
+                        item = (f1, f2)
+                    if n1 > 0:
+                        r0 += n1  # tail batches (n1 < 0) are final
                     while not stop.is_set():
                         try:
-                            q.put((f1, f2), timeout=0.5)
+                            q.put(item, timeout=0.5)
                             break
                         except queue.Full:
                             continue
@@ -437,7 +472,12 @@ class ThreadedFastqReader:
                 if isinstance(item, BaseException):
                     raise item
                 f1, f2 = item
+                if f1 == "skip":
+                    self.stats["skipped_records"] += f2
+                    yield {"skip": f2}
+                    continue
                 b1 = f1.result()
+                self.stats["parsed_records"] += int(b1["codes"].shape[0])
                 batch = {"r1_codes": b1["codes"], "r1_lens": b1["lens"]}
                 if self.with_strings:
                     batch["names"] = b1["names"]

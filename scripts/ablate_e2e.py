@@ -35,7 +35,7 @@ def main():
     print(f"engine: chunk={engine.chunk_size} scan={engine.scan_chunks} span={span} "
           f"built in {time.perf_counter()-t0:.1f}s")
 
-    batches = _make_batches([fq], False, 1 << 17, 256, 4, 2)
+    batches, _reader = _make_batches([fq], False, 1 << 17, 256, 4, 2)
     feeder = SpanFeeder(span, False)
 
     t_read = t_pack = t_submit = t_collect = 0.0

@@ -167,7 +167,7 @@ def main():
         return bits, score
 
     def chk(x):
-        if isinstance(x, tuple):
+        if isinstance(x, (tuple, list)):
             return sum(jnp.sum(v.astype(jnp.int32) & 0xFFFF) for v in x)
         return jnp.sum(x.astype(jnp.int32) & 0xFFFF)
 

@@ -114,6 +114,65 @@ def test_two_process_align_byte_equal(workspace):
     assert leftovers == []
 
 
+def test_two_process_decode_sharded(workspace):
+    """With -c (threaded reader) each process parses only ~its own half of
+    the records (decode sharding via ThreadedFastqReader.set_skip); output
+    stays byte-identical to a single-process run."""
+    from nimble_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    root = workspace["root"]
+    single = str(root / "single_ds.tsv")
+    # reader batches sized to the span (256 reads) so whole batches fall
+    # inside single spans and become skippable
+    env_common = {"NIMBLE_TPU_READER_BATCH": "256"}
+    code, out = run_proc(
+        [
+            "align", "--reference", workspace["library"], "--output", single,
+            "--input", workspace["fastq"], "--chunk-size", "256", "-c", "2",
+        ],
+        env_common,
+    )
+    assert code == 0, out
+
+    merged = str(root / "merged_ds.tsv")
+    base = [
+        "align", "--reference", workspace["library"], "--output", merged,
+        "--input", workspace["fastq"], "--chunk-size", "256", "-c", "2",
+    ]
+    p1 = run_proc(
+        base,
+        dict(env_common, NIMBLE_TPU_NUM_PROCS="2", NIMBLE_TPU_PROC_ID="1"),
+        wait=False,
+    )
+    code0, out0 = run_proc(
+        base, dict(env_common, NIMBLE_TPU_NUM_PROCS="2", NIMBLE_TPU_PROC_ID="0")
+    )
+    out1, _ = p1.communicate(timeout=600)
+    assert p1.returncode == 0, out1.decode()
+    assert code0 == 0, out0
+
+    # each process parsed roughly half: 4000 reads, 256-read batches ->
+    # 16 minimum-size batches; parity-owned spans plus the always-parsed
+    # first batch and the tail batch bound parsing under ~70%
+    import re
+
+    m0 = re.search(r"Decode shard: parsed (\d+) skipped (\d+)", out0)
+    m1 = re.search(r"Decode shard: parsed (\d+) skipped (\d+)", out1.decode())
+    assert m0 and m1, (out0, out1.decode())
+    for m in (m0, m1):
+        parsed, skipped = int(m.group(1)), int(m.group(2))
+        assert parsed + skipped == 4000
+        assert parsed <= 0.7 * 4000, f"parsed {parsed} of 4000"
+
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(merged, "rb") as f:
+        got = f.read()
+    assert got == want
+
+
 def test_multiproc_resume_refused(workspace, capsys):
     os.environ["NIMBLE_TPU_NUM_PROCS"] = "2"
     os.environ["NIMBLE_TPU_PROC_ID"] = "0"
