@@ -804,10 +804,14 @@ def align_files(
     index) into a headerless `<output>.shardP` file and process 0 splices
     the shards back into reader order over the shared filesystem
     (_merge_shards), producing output byte-identical to a single-process
-    run. Device compute and TSV emission scale with the process count;
-    every process decodes the full input stream (per-host decode is >2x a
-    chip's alignment rate at -c 4, so decode is not the binding constraint
-    below ~3 chips/host).
+    run. Device compute, TSV emission, and (with -c, via the threaded
+    reader's skip predicate) parse/encode/pack decode all scale with the
+    process count; inflate + newline cutting still run per process
+    (single-member gzip is not seekable). Resume works per process: each
+    shard checkpoints its own cursor + span byte accounting
+    (`<output>.shardP.progress.json`, atomic replace) and a killed process
+    fast-forwards, truncates its shard at the recorded offset, and
+    continues; other shards are unaffected.
     """
     from nimble_tpu.observability import Throughput, profile, runlog
 
@@ -816,12 +820,6 @@ def align_files(
     world_pid, world_n = _align_world()
     if world_n > 1:
         log.event("world", pid=world_pid, n=world_n)
-        if resume:
-            print(
-                "align --resume is not supported in multi-process runs",
-                file=sys.stderr,
-            )
-            return 1
     library_list = reference.split(",")
     input_ext = os.path.splitext(inputs[0])[-1].lower()
     is_bam = input_ext == ".bam"
@@ -893,8 +891,16 @@ def align_files(
         and os.environ.get("NIMBLE_TPU_NO_PACKED", "") != "1"
     )
 
-    progress_path = output + ".progress.json"
+    # per-process sidecar: multi-process runs checkpoint each shard
+    # independently (cursor + span byte accounting + shard file offsets),
+    # so a killed process resumes its own spans while the others' shards
+    # stand
+    progress_path = output + (
+        ".progress.json" if world_n == 1 else f".shard{world_pid}.progress.json"
+    )
     reads_done = 0
+    resumed_total = 0
+    resumed_spans: List = []
     if resume and os.path.exists(progress_path):
         import json as _json
 
@@ -908,6 +914,10 @@ def align_files(
             )
             return 1
         reads_done = prog.get("reads_done", 0)
+        resumed_total = prog.get("total_done", 0)
+        resumed_spans = [
+            (idx, by_lib) for idx, by_lib in prog.get("spans", [])
+        ]
         for r in runners:
             rows_kept = prog.get("rows_written", {}).get(r.output_path, 0)
             byte_off = prog.get("bytes_written", {}).get(r.output_path)
@@ -922,31 +932,32 @@ def align_files(
         for r in runners:
             r.open(header=world_n == 1)
 
-    def save_progress(done_reads):
+    def save_progress(done_reads, spans=None, total_done=0):
         import json as _json
 
-        if world_n > 1:  # no resume story across process grids
-            return
         offsets = {}
         for r in runners:
             r._file.flush()
             offsets[r.output_path] = r._file.tell()
-        with open(progress_path, "w") as f:
-            _json.dump(
-                {
-                    "reads_done": done_reads,
-                    "rows_written": {r.output_path: r.rows_written for r in runners},
-                    "bytes_written": offsets,
-                },
-                f,
-            )
+        payload = {
+            "reads_done": done_reads,
+            "rows_written": {r.output_path: r.rows_written for r in runners},
+            "bytes_written": offsets,
+        }
+        if world_n > 1:
+            payload["spans"] = spans or []
+            payload["total_done"] = total_done
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        os.replace(tmp, progress_path)  # atomic: a kill never corrupts it
 
     reader_batch = (
         batch_records
         or int(os.environ.get("NIMBLE_TPU_READER_BATCH", "0") or 0)
         or (1 << 17)
     )
-    total = 0
+    total = resumed_total if world_n > 1 else 0
     tput = Throughput(log)
     failed = False
     stacked = None
@@ -1088,6 +1099,7 @@ def align_files(
                             },
                         )
                     )
+                    save_progress(reads_end, spans=span_meta, total_done=total)
                 else:
                     save_progress(reads_end)
 
@@ -1192,8 +1204,11 @@ def align_files(
                     raise emit_exc[0]
 
             cursor = reads_done
-            span_counter = 0
-            span_meta: List[Tuple[int, Dict[str, int]]] = []
+            # resume: spans before the cursor never re-dispatch (the feeder
+            # fast-forwards), so global span indexing restarts at the
+            # cursor's span (every checkpointed span is span-aligned)
+            span_counter = reads_done // span if span else 0
+            span_meta: List[Tuple[int, Dict[str, int]]] = list(resumed_spans)
 
             def rebuild(newL):
                 # longer reads than the auto-sized width: drain the
@@ -1231,7 +1246,16 @@ def align_files(
                             if "skip" in batch:
                                 # decode-sharded batch owned by another
                                 # process: count it through the feeder so
-                                # span indexing/cursors stay aligned
+                                # span indexing/cursors stay aligned (the
+                                # resume fast-forward consumes skip counts
+                                # exactly like real records)
+                                n = batch["skip"]
+                                if to_skip >= n:
+                                    to_skip -= n
+                                    continue
+                                if to_skip:
+                                    batch = {"skip": n - to_skip}
+                                    to_skip = 0
                                 for sb in feeder.add(batch):
                                     spanq.put(("span", sb))
                                 continue

@@ -6,7 +6,9 @@ item 3 (20k-allele path to >= 1.25M reads/s/chip).
 The 20k index (102s numpy build) is persisted to .bench_data/big20k.idx.npz
 on first run and reloaded afterwards.
 
-Usage: python scripts/ablate_gband.py [CHUNK]
+Usage: python scripts/ablate_gband.py [CHUNK] [STAGE,STAGE,...]
+(default: all stages; run stages separately to stay inside compile-time
+budgets — the .jax_cache makes reruns instant)
 """
 import os
 import pathlib
@@ -181,6 +183,9 @@ def main():
         ("full-mate", stage_full),
         ("align_step", None),
     ]
+    if len(sys.argv) > 2:
+        want = set(sys.argv[2].split(","))
+        variants = [v for v in variants if v[0] in want]
     results = {}
     for name, f in variants:
         if f is None:
@@ -207,10 +212,13 @@ def main():
               f"({chunk/best/1e6:6.3f} M reads/s)  [compile {compile_s:.0f}s]",
               flush=True)
 
-    print("\ndeltas (consecutive prefixes):")
-    order = ["keys", "probe", "band-gather", "tree", "expand"]
-    for a, b in zip(order, order[1:]):
-        print(f"  {b:12s}: +{(results[b]-results[a])*1000:7.2f} ms")
+    order = [n for n in
+             ("keys", "probe", "band-gather", "tree", "expand")
+             if n in results]
+    if len(order) > 1:
+        print("\ndeltas (consecutive prefixes):")
+        for a, b in zip(order, order[1:]):
+            print(f"  {b:12s}: +{(results[b]-results[a])*1000:7.2f} ms")
 
 
 if __name__ == "__main__":

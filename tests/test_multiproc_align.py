@@ -173,18 +173,72 @@ def test_two_process_decode_sharded(workspace):
     assert got == want
 
 
-def test_multiproc_resume_refused(workspace, capsys):
-    os.environ["NIMBLE_TPU_NUM_PROCS"] = "2"
-    os.environ["NIMBLE_TPU_PROC_ID"] = "0"
-    try:
-        code = cli(
-            [
-                "align", "--reference", workspace["library"],
-                "--output", str(workspace["root"] / "x.tsv"),
-                "--input", workspace["fastq"], "--resume",
-            ]
-        )
-    finally:
-        del os.environ["NIMBLE_TPU_NUM_PROCS"]
-        del os.environ["NIMBLE_TPU_PROC_ID"]
-    assert code == 1
+KILL_RUNNER = """
+import jax, os, sys
+jax.config.update("jax_platforms", "cpu")
+import nimble_tpu.align.pipeline as P
+_orig = P.LibraryRunner.emit_out
+_calls = [0]
+def _wrap(self, out, batch):
+    n = _orig(self, out, batch)
+    _calls[0] += 1
+    if _calls[0] >= int(os.environ["KILL_AFTER_EMITS"]):
+        os._exit(9)  # hard kill mid-run: no cleanup, partial state on disk
+    return n
+P.LibraryRunner.emit_out = _wrap
+from nimble_tpu.__main__ import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def test_multiproc_kill_and_resume(workspace):
+    """Kill process 0 after 2 emitted spans, resume it with --resume:
+    merged output must be byte-identical to a single-process run."""
+    root = workspace["root"]
+    single = str(root / "single_kr.tsv")
+    code, out = run_proc(
+        [
+            "align", "--reference", workspace["library"], "--output", single,
+            "--input", workspace["fastq"], "--chunk-size", "256",
+        ],
+        {},
+    )
+    assert code == 0, out
+
+    merged = str(root / "merged_kr.tsv")
+    base = [
+        "align", "--reference", workspace["library"], "--output", merged,
+        "--input", workspace["fastq"], "--chunk-size", "256",
+    ]
+    # process 1 runs to completion on its own shard
+    code1, out1 = run_proc(
+        base, {"NIMBLE_TPU_NUM_PROCS": "2", "NIMBLE_TPU_PROC_ID": "1"}
+    )
+    assert code1 == 0, out1
+
+    # process 0 dies after 2 emitted spans (of its ~8)
+    env0 = {"NIMBLE_TPU_NUM_PROCS": "2", "NIMBLE_TPU_PROC_ID": "0"}
+    env = dict(os.environ, **env0, KILL_AFTER_EMITS="2", PYTHONPATH=REPO)
+    p = subprocess.Popen(
+        [sys.executable, "-c", KILL_RUNNER] + base,
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    outk, _ = p.communicate(timeout=600)
+    assert p.returncode == 9, outk.decode()
+    prog = str(root / "merged_kr.tsv.shard0.progress.json")
+    assert os.path.exists(prog), "shard progress sidecar must survive the kill"
+
+    # resume process 0: fast-forwards, truncates its shard, merges
+    code0, out0 = run_proc(base + ["--resume"], env0)
+    assert code0 == 0, out0
+    assert "Resuming from read" in out0
+    assert "Aligned 4000 read(-pair)s" in out0
+
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(merged, "rb") as f:
+        got = f.read()
+    assert got == want
+    leftovers = [p for p in os.listdir(root) if ".shard" in p and "_kr" in p]
+    assert leftovers == []
