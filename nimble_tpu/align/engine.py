@@ -262,6 +262,20 @@ def _device_tables(index: KmerIndex, inline_ok: bool = True, group_ok: bool = Tr
         # the group probe fully replaces the mono probe (the tail probe also
         # hits the group table), so skip building mono tables
         tables.update(group)
+        if not inline:
+            # wide group paths never trace the two-choice mono tables, and
+            # the banded path reads only class_bits.shape — ship 1-row
+            # placeholders instead of the dead arrays (20k-allele library:
+            # ~0.7 GB = minutes of relay transfer + HBM that would
+            # otherwise shrink the auto chunk)
+            tables["bucket"] = jnp.zeros((1, 4 * S), jnp.int32)
+            tables["stash_hi"] = jnp.zeros((0,), jnp.int32)
+            tables["stash_lo"] = jnp.zeros((0,), jnp.int32)
+            tables["stash_vsame"] = jnp.zeros((0,), jnp.int32)
+            tables["stash_vdiff"] = jnp.zeros((0,), jnp.int32)
+            if "gband_bucket" in group:
+                # banded payloads replace every class-bitset gather
+                tables["class_bits"] = jnp.zeros((1, W), jnp.int32)
     elif inline:
         mono = _build_mono_tables(index, bits_of)
         if mono is not None:
@@ -2153,13 +2167,12 @@ class AlignEngine:
         # 2-bit words + a sparse N sidecar instead of int8 codes -- the
         # H2D relay moves ~55 MB/s, so 1-byte-per-base input caps the CLI
         # far below the device rate. jit compilation is lazy, so the packed
-        # variants cost nothing unless used (mesh engines keep codes input:
-        # shardings below are the codes-path ones).
+        # variants cost nothing unless used.
         if self.max_len > MAX_LEN_LIMIT:
             raise ValueError(
                 f"max_len {self.max_len} > {MAX_LEN_LIMIT} (packed uint16 scores)"
             )
-        self.packed_ok = mesh is None
+        self.packed_ok = True
         self.sidecar_cap = 0
         L = self.max_len
         Lf = (L + 31) // 32
@@ -2173,8 +2186,21 @@ class AlignEngine:
                 args += [unpack_reads(w, L, f), l.astype(jnp.int32)]
             return args
 
+        # mesh runs shard the packed wire over the data axis too: words
+        # (B, Lw) and dense N flags (B, Lf) on the batch axis, lens on the
+        # 1-D data axis. unpack_reads is pure per-row shift/mask work, so
+        # the SPMD partitioner splits it with no collectives. (The sparse
+        # N sidecar carries global row indices; mesh dispatch uses the
+        # dense-flag single-chunk path instead — align_packed_async.)
+        pk_kwargs = {}
+        if mesh is not None:
+            pk = [
+                mesh.batch_sharded, mesh.data_sharded, mesh.batch_sharded
+            ] * n_mates
+            pk_kwargs = dict(in_shardings=tuple([None] + pk))
         self._fn_packed_in = jax.jit(
-            lambda t, *xs: pack_outputs(align_step(t, p, *packed_to_codes(xs)))
+            lambda t, *xs: pack_outputs(align_step(t, p, *packed_to_codes(xs))),
+            **pk_kwargs,
         )
         # compact wire codec (pack_outputs_compact): on by default for the
         # scanned TPU dispatch path — the relay wire is the e2e bottleneck.
@@ -2348,8 +2374,6 @@ class AlignEngine:
     def align_packed_async(self, pb: dict):
         """Dispatch a packed-wire batch (io.packing.pack_batch dict) to the
         device. Same pending-list contract as align_batch_async."""
-        if not self.packed_ok:
-            raise ValueError("packed dispatch unavailable on mesh engines")
         n = pb["r1_words"].shape[0]
         pending = []
         S = self.scan_chunks

@@ -774,9 +774,10 @@ def align_files(
     Reads travel host->device in the 2-bit packed wire format
     (io/packing.py): the dev relay moves ~55 MB/s H2D, so int8 codes
     (1 byte/base) would cap the CLI at ~200k reads/s while the device
-    sustains >4M (docs/PERF.md round-3). Mesh runs keep the int8 path
-    (packed dispatch is single-device for now; NIMBLE_TPU_NO_PACKED=1
-    forces int8 everywhere).
+    sustains >4M (docs/PERF.md round-3). Mesh runs dispatch the packed
+    wire too, sharded over the data axis (words/flags on the batch axis,
+    lens on the data axis; dense N flags instead of the sparse sidecar).
+    NIMBLE_TPU_NO_PACKED=1 forces int8 everywhere.
 
     num_cores drives host-side decode parallelism (io/threaded.py): a
     producer thread inflates + cuts the FASTQ stream and num_cores native
@@ -886,10 +887,7 @@ def align_files(
             r.final_path = r.output_path
             r.output_path = f"{r.output_path}.shard{world_pid}"
 
-    use_packed = (
-        mesh_plan is None
-        and os.environ.get("NIMBLE_TPU_NO_PACKED", "") != "1"
-    )
+    use_packed = os.environ.get("NIMBLE_TPU_NO_PACKED", "") != "1"
 
     # per-process sidecar: multi-process runs checkpoint each shard
     # independently (cursor + span byte accounting + shard file offsets),

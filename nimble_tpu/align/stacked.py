@@ -585,7 +585,7 @@ class StackedEngine:
             raise ValueError(
                 f"max_len {self.max_len} > {E.MAX_LEN_LIMIT} (packed uint16 scores)"
             )
-        self.packed_ok = mesh is None
+        self.packed_ok = True
         self.sidecar_cap = 0
         L = self.max_len
         Lf = (L + 31) // 32
@@ -598,8 +598,16 @@ class StackedEngine:
                 args += [E.unpack_reads(w, L, f), l.astype(jnp.int32)]
             return args
 
+        # mesh: shard the packed wire over the data axis (engine.py
+        # rationale — words/flags batch-sharded, lens data-sharded)
+        pk_kwargs = {}
+        if mesh is not None:
+            pk = [
+                mesh.batch_sharded, mesh.data_sharded, mesh.batch_sharded
+            ] * n_mates
+            pk_kwargs = dict(in_shardings=tuple([None] + pk))
         self._fn_packed_in = jax.jit(
-            lambda t, *xs: packed(t, *packed_to_codes(xs))
+            lambda t, *xs: packed(t, *packed_to_codes(xs)), **pk_kwargs
         )
         self._scan_fn_packed = None
         self._scan_fn_packed_dense = None
