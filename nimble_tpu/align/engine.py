@@ -176,10 +176,10 @@ def auto_chunk_size(
         Q = (PP + g - 1) // g + 1
         bands = _build_class_bands(index)
         if bands is not None:
-            # banded group path: 16-word probe rows + (2+2Wb)-word band
-            # rows per position, tree transients ~3x the band planes
+            # banded group path: 20-word probe rows + one (1+Wb)-word
+            # selected-half band row per position, tree transients ~3x
             Wb = 2 * bands[0]
-            per_read = Q * (4 * MONO_SLOTS + 3 * (2 + 2 * Wb)) + 10 * PP
+            per_read = Q * (5 * MONO_SLOTS + 3 * (1 + Wb)) + 10 * PP
         else:
             # wide groupcls path: probe rows S*(2+2g+1) per group position
             # plus the runs intersection's (chunk, RUN_BLOCK, W) block
@@ -433,6 +433,81 @@ def _single_hash_placement(hi: np.ndarray, lo: np.ndarray, entry_words: int, slo
         order[placed],
         order[~placed],
     )
+
+
+def _two_choice_placement(hi: np.ndarray, lo: np.ndarray, slots: int,
+                          stash_cap: int = 64):
+    """Greedy two-choice placement (vectorized rounds, no eviction) of keys
+    into next_pow2-sized bucket tables, growing until the overflow stash
+    fits stash_cap. Densities reach ~16x the grow-until-tight single-hash
+    placement (the 20k-allele gband bucket shrank 33.5M -> 2M buckets /
+    2.7 GB -> 160 MB), at the cost of a second bucket gather per probe.
+
+    Returns (nb2, bucket_ids, slot_ids, placed_keys, stash_keys)."""
+    from nimble_tpu.index.hashing import bucket_hashes_np
+
+    n = hi.shape[0]
+    target = max(1, int(np.ceil(n / (slots * 0.6))))
+    nb2 = 1 << max(1, int(np.ceil(np.log2(target))))
+    for _ in range(4):
+        h1, h2 = bucket_hashes_np(hi, lo, nb2)
+        slot_key = np.full(nb2 * slots, -1, dtype=np.int64)
+        loads = np.zeros(nb2, dtype=np.int32)
+        pending = np.arange(n)
+        # greedy lesser-loaded rounds place the easy ~99.9%
+        for _r in range(16):
+            if pending.size == 0:
+                break
+            p1, p2 = h1[pending], h2[pending]
+            tgt = np.where(loads[p1] <= loads[p2], p1, p2).astype(np.int64)
+            order = np.argsort(tgt, kind="stable")
+            t_sorted = tgt[order]
+            boundary = np.empty(t_sorted.shape[0], dtype=bool)
+            boundary[0] = True
+            boundary[1:] = t_sorted[1:] != t_sorted[:-1]
+            group_start = np.flatnonzero(boundary)
+            rank = (
+                np.arange(t_sorted.shape[0])
+                - group_start[np.cumsum(boundary) - 1]
+            )
+            slot = loads[t_sorted] + rank
+            ok = slot < slots
+            slot_key[t_sorted[ok] * slots + slot[ok]] = pending[order[ok]]
+            np.add.at(loads, t_sorted[ok], 1)
+            pending = pending[order[~ok]]
+        # random-walk cuckoo eviction rounds drain the stranded tail
+        # (greedy-no-eviction leaves thousands at load ~0.5; (2,slots)-
+        # cuckoo converges far above that)
+        rng = np.random.default_rng(0x1C0FFEE)
+        for _r in range(512):
+            if pending.size <= stash_cap:
+                break
+            p1, p2 = h1[pending], h2[pending]
+            pick = rng.integers(0, 2, size=pending.size) == 1
+            tgt = np.where(pick, p1, p2).astype(np.int64)
+            order = np.argsort(tgt, kind="stable")
+            t_sorted = tgt[order]
+            first = np.empty(t_sorted.size, dtype=bool)
+            first[0] = True
+            first[1:] = t_sorted[1:] != t_sorted[:-1]
+            win = order[first]  # one winner per bucket this round
+            flat = tgt[win] * slots + rng.integers(0, slots, size=win.size)
+            evicted = slot_key[flat]
+            slot_key[flat] = pending[win]
+            keep = np.ones(pending.size, dtype=bool)
+            keep[win] = False
+            pending = np.concatenate([pending[keep], evicted[evicted >= 0]])
+        if pending.size <= stash_cap:
+            occ = np.flatnonzero(slot_key >= 0)
+            return (
+                nb2,
+                occ // slots,
+                occ % slots,
+                slot_key[occ],
+                pending,
+            )
+        nb2 <<= 1
+    return None
 
 
 def _build_mono_tables(index: KmerIndex, bits_of):
@@ -714,7 +789,57 @@ def _build_groupband_tables(index: KmerIndex):
     n = hi.shape[0]
     if n == 0 or g > 8:
         return None
-    placement = _single_hash_placement(hi, lo, 4, MONO_SLOTS)
+    # two-choice keeps the bucket table ~16x denser (160 MB vs 2.7 GB on
+    # the 20k-allele library) at the cost of a second gather per probe;
+    # NIMBLE_TPU_GBAND_PLACEMENT=single keeps the sparse one-gather layout
+    two_choice = os.environ.get("NIMBLE_TPU_GBAND_PLACEMENT", "two") != "single"
+    # the host-side build (pre-AND + dedup) costs minutes at 4.6M entries;
+    # cache per index object and placement mode (engine rebuilds reuse it)
+    cache = getattr(index, "_gband_cache", None)
+    if cache is None:
+        cache = {}
+        index._gband_cache = cache
+    if two_choice in cache:
+        return cache[two_choice]
+
+    # disk sidecar next to the persisted index: the host build costs
+    # minutes at millions of entries, the load costs seconds. Guarded by a
+    # sampled fingerprint of the pair keys (a changed library rebuilds the
+    # .idx.npz, so a stale sidecar would otherwise survive).
+    def _fingerprint():
+        n = index.pair_hi.shape[0]
+        step = max(1, n // 997)
+        return np.array(
+            [
+                n,
+                int(index.pair_hi[::step].astype(np.int64).sum()),
+                int(index.pair_lo[::step].astype(np.int64).sum()),
+                index.pair_g,
+                index.bitset_words,
+            ],
+            dtype=np.int64,
+        )
+
+    cp = getattr(index, "_cache_path", None)
+    tag = "two" if os.environ.get(
+        "NIMBLE_TPU_GBAND_PLACEMENT", "two"
+    ) != "single" else "single"
+    disk = f"{cp}.gband.{tag}.npz" if cp else None
+    if disk and os.path.exists(disk):
+        try:
+            z = np.load(disk)
+            if np.array_equal(z["__fp"], _fingerprint()):
+                out = {
+                    k: jnp.asarray(z[k]) for k in z.files if k != "__fp"
+                }
+                cache[two_choice] = out
+                return out
+        except Exception:
+            pass  # unreadable/stale sidecar: rebuild below
+    if two_choice:
+        placement = _two_choice_placement(hi, lo, MONO_SLOTS)
+    else:
+        placement = _single_hash_placement(hi, lo, 4, MONO_SLOTS)
     if placement is None:
         return None
     nb2, b, s, keys, skeys = placement
@@ -743,37 +868,91 @@ def _build_groupband_tables(index: KmerIndex):
     mask_word = (
         vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
     )
-    band_table = np.concatenate(
-        [p_s[:, None], b_s, p_d[:, None], b_d], axis=1
+    # HALF rows [page | band (Wb)]: the device computes use_fwd from the
+    # probe masks alone and gathers only the selected orientation's half
+    # (s when fwd_c == use_fwd else d) — half the band-gather bytes and no
+    # per-position orientation selects on full-width planes (round-4
+    # dissection: those were +17.7 ms and +9.5 ms of a 63.7 ms chunk).
+    half = np.concatenate(
+        [
+            np.concatenate([p_s[:, None], b_s], axis=1),
+            np.concatenate([p_d[:, None], b_d], axis=1),
+        ]
     ).astype(np.int32)
 
+    # Dedup identical half payloads: rows are per (k+g-1)-mer entry and
+    # orientation, but adjacent entries inside a family segment share the
+    # same pre-ANDed band, so distinct payloads are ~10-20x fewer
+    # (20k-allele library: 1.9 GB -> tens of MB of HBM). Hash-unique
+    # (random-multiplier int64, exactness verified row-for-row; collision
+    # -> exact lexsort unique).
+    # column-loop mixing hash (an int64 matmul has no BLAS path and took
+    # minutes at 9M x 65); exactness still verified row-for-row below
+    hsh = np.zeros(half.shape[0], dtype=np.int64)
+    for j in range(half.shape[1]):
+        hsh = (hsh ^ half[:, j].astype(np.int64)) * np.int64(
+            -7046029254386353131
+        )
+        hsh ^= hsh >> 29
+    _, first_idx, inverse = np.unique(
+        hsh, return_index=True, return_inverse=True
+    )
+    dedup = half[first_idx]
+    if np.array_equal(dedup[inverse], half):
+        band_table = dedup
+        remap = inverse.astype(np.int32)
+    else:  # 64-bit collision (~n^2/2^64): exact fallback
+        band_table, remap = np.unique(half, axis=0, return_inverse=True)
+        remap = remap.astype(np.int32)
+    remap_s, remap_d = remap[:n], remap[n:]
+
     S = MONO_SLOTS
-    table = np.zeros((nb2, S * 4), dtype=np.int32)
+    table = np.zeros((nb2, S * 5), dtype=np.int32)
     table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
     table[b, s] = hi[keys].view(np.int32)
     table[b, S + s] = lo[keys].view(np.int32)
-    table[b, 2 * S + s] = keys.astype(np.int32)  # band-table row index
-    table[b, 3 * S + s] = mask_word[keys]
+    table[b, 2 * S + s] = remap_s[keys]  # same-orientation half row
+    table[b, 3 * S + s] = remap_d[keys]  # diff-orientation half row
+    table[b, 4 * S + s] = mask_word[keys]
 
     n_stash = skeys.shape[0]
     pad = max(1, n_stash)
     gs_hi = np.full(pad, -1, dtype=np.int32)
     gs_lo = np.zeros(pad, dtype=np.int32)
-    gs_idx = np.zeros(pad, dtype=np.int32)
+    gs_idx_s = np.zeros(pad, dtype=np.int32)
+    gs_idx_d = np.zeros(pad, dtype=np.int32)
     gs_mask = np.zeros(pad, dtype=np.int32)
     if n_stash:
         gs_hi[:n_stash] = hi[skeys].view(np.int32)
         gs_lo[:n_stash] = lo[skeys].view(np.int32)
-        gs_idx[:n_stash] = skeys.astype(np.int32)
+        gs_idx_s[:n_stash] = remap_s[skeys]
+        gs_idx_d[:n_stash] = remap_d[skeys]
         gs_mask[:n_stash] = mask_word[skeys]
-    return {
+    out = {
         "gband_bucket": jnp.asarray(table),
         "gband_table": jnp.asarray(band_table),
         "gband_stash_hi": jnp.asarray(gs_hi),
         "gband_stash_lo": jnp.asarray(gs_lo),
-        "gband_stash_idx": jnp.asarray(gs_idx),
+        "gband_stash_idx_s": jnp.asarray(gs_idx_s),
+        "gband_stash_idx_d": jnp.asarray(gs_idx_d),
         "gband_stash_mask": jnp.asarray(gs_mask),
     }
+    if not two_choice:
+        # trace-time marker: probe only h1 (key never lives elsewhere)
+        out["gband_single"] = jnp.zeros((1,), jnp.int32)
+    cache[two_choice] = out
+    if disk:
+        try:
+            tmp = disk + ".tmp.npz"
+            np.savez(
+                tmp,
+                __fp=_fingerprint(),
+                **{k: np.asarray(v) for k, v in out.items()},
+            )
+            os.replace(tmp, disk)
+        except Exception:
+            pass  # cache write is best-effort
+    return out
 
 
 def _bitcast_i32(x):
@@ -1574,10 +1753,13 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     """Wide-W group-probe scoring with BANDED PRE-ANDED payloads: identical
     probe grid + tail scheme and mask/score semantics as _score_mate_group,
     but each probe position resolves to a page-banded 2-page bitset
-    (gband_table row) already holding the AND of its g windows' classes —
-    one 64-byte probe row + one band row per position, a page-select
-    combine tree, and a single band->full-width expansion per read. Same
-    conservative divergences as the narrow group path."""
+    (gband_table HALF row) already holding the AND of its g windows'
+    classes for ONE orientation. The probe row carries both orientations'
+    half-row indices; use_fwd is decided from the probe masks alone
+    (coverage scores need no bands), so only the selected orientation's
+    half is ever gathered — half the band bytes and no per-position
+    full-width orientation selects (round-4 dissection). Same conservative
+    divergences as the narrow group path."""
     g = p.group_g
     kg = p.k + g - 1
     B, L = codes.shape
@@ -1585,50 +1767,60 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     PP = L - kg + 1
     nb = tables["gband_bucket"].shape[0]
     W = tables["class_bits"].shape[1]
-    Wb = tables["gband_table"].shape[1] // 2 - 1
+    Wb = tables["gband_table"].shape[1] - 1
     Pw = Wb // 2
     if p.window_kernel:
         from nimble_tpu.align.kernels import kmer_keys_pallas
 
-        hi_i, lo_i, h1, _h2, fwd_c, _palin, valid = kmer_keys_pallas(
+        hi_i, lo_i, h1, h2, fwd_c, _palin, valid = kmer_keys_pallas(
             codes, lens, kg, nb
         )
     else:
         hi, lo, valid = kmer_hi_lo(codes, lens, kg)
         c_hi, c_lo, fwd_c, _palin = _canonical_keys(hi, lo, kg)
-        h1, _ = bucket_hashes_jnp(c_hi, c_lo, nb)
+        h1, h2 = bucket_hashes_jnp(c_hi, c_lo, nb)
         hi_i, lo_i = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
 
     jstar = jnp.clip(lens - kg, 0, PP - 1)
     onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
     cat = []
-    for a in (hi_i, lo_i, h1, fwd_c, valid):
+    for a in (hi_i, lo_i, h1, h2, fwd_c, valid):
         t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(axis=1, keepdims=True)
         cat.append(jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1))
-    hi_c, lo_c, h1_c, fwd_cc, valid_c = cat
+    hi_c, lo_c, h1_c, h2_c, fwd_cc, valid_c = cat
     Q = hi_c.shape[1] - 1
 
-    S = tables["gband_bucket"].shape[1] // 4
-    row = tables["gband_bucket"][h1_c.astype(jnp.int32)]  # (B, Q+1, 4S)
-    match = (row[..., 0:S] == hi_c[..., None]) & (
-        row[..., S : 2 * S] == lo_c[..., None]
-    )
-    idx = jnp.max(jnp.where(match, row[..., 2 * S : 3 * S], -1), axis=-1)
-    mword = jnp.where(match, row[..., 3 * S : 4 * S], 0).sum(axis=2)
+    # two-choice probe: the key lives in one of two buckets
+    # (_two_choice_placement keeps the table ~16x denser than single-hash;
+    # two gathers from a small table beat one from a TLB-hostile giant)
+    S = tables["gband_bucket"].shape[1] // 5
+
+    def probe_bucket(h):
+        row = tables["gband_bucket"][h.astype(jnp.int32)]  # (B, Q+1, 5S)
+        match = (row[..., 0:S] == hi_c[..., None]) & (
+            row[..., S : 2 * S] == lo_c[..., None]
+        )
+        i_s = jnp.max(jnp.where(match, row[..., 2 * S : 3 * S], -1), axis=-1)
+        i_d = jnp.max(jnp.where(match, row[..., 3 * S : 4 * S], -1), axis=-1)
+        mw = jnp.where(match, row[..., 4 * S : 5 * S], 0).sum(axis=2)
+        return i_s, i_d, mw
+
+    idx_s, idx_d, mword = probe_bucket(h1_c)
+    if "gband_single" not in tables:
+        i2s, i2d, m2 = probe_bucket(h2_c)
+        idx_s = jnp.maximum(idx_s, i2s)
+        idx_d = jnp.maximum(idx_d, i2d)
+        mword = mword | m2  # a key matches in exactly one bucket
     n_stash = tables["gband_stash_hi"].shape[0]
     for s in range(n_stash):
         m = (tables["gband_stash_hi"][s] == hi_c) & (
             tables["gband_stash_lo"][s] == lo_c
         )
-        idx = jnp.where(m, tables["gband_stash_idx"][s], idx)
+        idx_s = jnp.where(m, tables["gband_stash_idx_s"][s], idx_s)
+        idx_d = jnp.where(m, tables["gband_stash_idx_d"][s], idx_d)
         mword = mword | jnp.where(m, tables["gband_stash_mask"][s], 0)
-    mword = jnp.where(valid_c & (idx >= 0), mword, 0)
-
-    brow = tables["gband_table"][jnp.clip(idx, 0, None)]  # (B, Q+1, 2+2Wb)
-    page_s = brow[..., 0]
-    band_s = brow[..., 1 : 1 + Wb]
-    page_d = brow[..., 1 + Wb]
-    band_d = brow[..., 2 + Wb :]
+    hit = valid_c & (idx_s >= 0)
+    mword = jnp.where(hit, mword, 0)
 
     gmask = jnp.int32((1 << g) - 1)
     mask_f = jnp.where(fwd_cc, mword, mword >> 8) & gmask
@@ -1647,16 +1839,14 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     else:  # unstranded: higher-scoring orientation, ties -> forward
         use_fwd = score_f >= score_r
 
-    # selected orientation's banded contributions: s/d -> f/r per position
-    # (orientation algebra as in group_probe), then per-read selection
-    fc = fwd_cc[..., None]
-    band_f = jnp.where(fc, band_s, band_d)
-    band_r = jnp.where(fc, band_d, band_s)
-    page_f = jnp.where(fwd_cc, page_s, page_d)
-    page_r = jnp.where(fwd_cc, page_d, page_s)
+    # selected orientation's half row per position: s when the canonical
+    # orientation agrees with the read's selected orientation, else d
+    # (band_sel = use_fwd ? (fwd_c ? s : d) : (fwd_c ? d : s))
     u = use_fwd[:, None]
-    page_sel = jnp.where(u, page_f, page_r)
-    band_sel = jnp.where(u[..., None], band_f, band_r)
+    idx_sel = jnp.where(fwd_cc == u, idx_s, idx_d)
+    brow = tables["gband_table"][jnp.clip(idx_sel, 0, None)]  # (B, Q+1, 1+Wb)
+    page_sel = brow[..., 0]
+    band_sel = brow[..., 1:]
     has_sel = jnp.where(u, mask_f, mask_r) != 0
     pg, bd, has = _band_tree(page_sel, band_sel, has_sel, Pw)
     bits = _expand_band(pg, bd, has, W, Pw)

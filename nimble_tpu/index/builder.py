@@ -193,7 +193,7 @@ class KmerIndex:
         if "pair_hi" in z.files:
             pairs = {f: z[f] for f in ("pair_hi", "pair_lo", "pair_vals")}
             pairs["pair_g"] = int(z["pair_g"])
-        return cls(
+        obj = cls(
             **pairs,
             k=int(z["k"]),
             n_buckets=int(z["n_buckets"]),
@@ -214,6 +214,10 @@ class KmerIndex:
             group_bits_words=int(z["group_bits_words"]),
             n_kmers=int(z["n_kmers"]),
         )
+        # derived-table sidecars (e.g. the gband build, minutes of host
+        # work at millions of entries) cache next to the index file
+        obj._cache_path = path
+        return obj
 
 
 # bump to invalidate persisted .idx.npz caches when the index layout changes

@@ -85,75 +85,74 @@ def main():
     PP = L - kg + 1
     nb = t["gband_bucket"].shape[0]
     W = t["class_bits"].shape[1]
-    Wb = t["gband_table"].shape[1] // 2 - 1
+    Wb = t["gband_table"].shape[1] - 1
     Pw = Wb // 2
     print(f"chunk={chunk} W={W} Wb={Wb} Pw={Pw} PP={PP} "
           f"Q+1={(PP + g - 1)//g + 1}", file=sys.stderr)
 
-    def stage_keys(codes, lens):
+    def stage_keys(t, codes, lens):
         hi, lo, valid = E.kmer_hi_lo(codes, lens, kg)
         c_hi, c_lo, fwd_c, _ = E._canonical_keys(hi, lo, kg)
-        h1, _ = E.bucket_hashes_jnp(c_hi, c_lo, nb)
+        h1, h2 = E.bucket_hashes_jnp(c_hi, c_lo, nb)
         hi_i, lo_i = E._bitcast_i32(c_hi), E._bitcast_i32(c_lo)
         jstar = jnp.clip(lens - kg, 0, PP - 1)
         onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
         cat = []
-        for a in (hi_i, lo_i, h1, fwd_c, valid):
+        for a in (hi_i, lo_i, h1, h2, fwd_c, valid):
             tt = jnp.where(onehot, a.astype(jnp.int32), 0).sum(
                 axis=1, keepdims=True)
             cat.append(jnp.concatenate([a[:, ::g], tt.astype(a.dtype)], axis=1))
         return cat + [jstar]
 
-    def stage_probe(codes, lens):
-        hi_c, lo_c, h1_c, fwd_cc, valid_c, jstar = stage_keys(codes, lens)
-        S = t["gband_bucket"].shape[1] // 4
-        row = t["gband_bucket"][h1_c.astype(jnp.int32)]
-        match = (row[..., 0:S] == hi_c[..., None]) & (
-            row[..., S:2 * S] == lo_c[..., None])
-        idx = jnp.max(jnp.where(match, row[..., 2 * S:3 * S], -1), axis=-1)
-        mword = jnp.where(match, row[..., 3 * S:4 * S], 0).sum(axis=2)
+    def stage_probe(t, codes, lens):
+        hi_c, lo_c, h1_c, h2_c, fwd_cc, valid_c, jstar = stage_keys(t, codes, lens)
+        S = t["gband_bucket"].shape[1] // 5
+
+        def pb(h):
+            row = t["gband_bucket"][h.astype(jnp.int32)]
+            match = (row[..., 0:S] == hi_c[..., None]) & (
+                row[..., S:2 * S] == lo_c[..., None])
+            i_s = jnp.max(jnp.where(match, row[..., 2 * S:3 * S], -1), axis=-1)
+            i_d = jnp.max(jnp.where(match, row[..., 3 * S:4 * S], -1), axis=-1)
+            mw = jnp.where(match, row[..., 4 * S:5 * S], 0).sum(axis=2)
+            return i_s, i_d, mw
+
+        i1s, i1d, m1 = pb(h1_c)
+        i2s, i2d, m2 = pb(h2_c)
+        idx = jnp.maximum(i1s, i2s)
+        idx_d = jnp.maximum(i1d, i2d)
+        mword = m1 | m2
         n_stash = t["gband_stash_hi"].shape[0]
         for s in range(n_stash):
             m = (t["gband_stash_hi"][s] == hi_c) & (t["gband_stash_lo"][s] == lo_c)
-            idx = jnp.where(m, t["gband_stash_idx"][s], idx)
+            idx = jnp.where(m, t["gband_stash_idx_s"][s], idx)
+            idx_d = jnp.where(m, t["gband_stash_idx_d"][s], idx_d)
             mword = mword | jnp.where(m, t["gband_stash_mask"][s], 0)
         mword = jnp.where(valid_c & (idx >= 0), mword, 0)
         return idx, mword, fwd_cc, jstar
 
-    def stage_band(codes, lens):
-        idx, mword, fwd_cc, jstar = stage_probe(codes, lens)
+    def stage_band(t, codes, lens):
+        idx, mword, fwd_cc, jstar = stage_probe(t, codes, lens)
         brow = t["gband_table"][jnp.clip(idx, 0, None)]
         return brow, mword, fwd_cc, jstar
 
-    def stage_tree(codes, lens):
-        brow, mword, fwd_cc, jstar = stage_band(codes, lens)
-        page_s = brow[..., 0]
-        band_s = brow[..., 1:1 + Wb]
-        page_d = brow[..., 1 + Wb]
-        band_d = brow[..., 2 + Wb:]
+    def stage_tree(t, codes, lens):
+        brow, mword, fwd_cc, jstar = stage_band(t, codes, lens)
+        page_sel = brow[..., 0]
+        band_sel = brow[..., 1:]
         gmask = jnp.int32((1 << g) - 1)
         mask_f = jnp.where(fwd_cc, mword, mword >> 8) & gmask
-        mask_r = jnp.where(fwd_cc, mword >> 24, mword >> 16) & gmask
-        fc = fwd_cc[..., None]
-        band_f = jnp.where(fc, band_s, band_d)
-        band_r = jnp.where(fc, band_d, band_s)
-        page_f = jnp.where(fwd_cc, page_s, page_d)
-        page_r = jnp.where(fwd_cc, page_d, page_s)
-        use_fwd = jnp.ones((brow.shape[0],), dtype=bool)  # placeholder select
-        u = use_fwd[:, None]
-        page_sel = jnp.where(u, page_f, page_r)
-        band_sel = jnp.where(u[..., None], band_f, band_r)
-        has_sel = jnp.where(u, mask_f, mask_r) != 0
+        has_sel = mask_f != 0
         pg, bd, has = E._band_tree(page_sel, band_sel, has_sel, Pw)
         return pg, bd, has
 
-    def stage_expand(codes, lens):
-        pg, bd, has = stage_tree(codes, lens)
+    def stage_expand(t, codes, lens):
+        pg, bd, has = stage_tree(t, codes, lens)
         return E._expand_band(pg, bd, has, W, Pw)
 
-    def stage_score(codes, lens):
+    def stage_score(t, codes, lens):
         # the two coverage scores alone (no bands)
-        idx, mword, fwd_cc, jstar = stage_probe(codes, lens)
+        idx, mword, fwd_cc, jstar = stage_probe(t, codes, lens)
         Q = mword.shape[1] - 1
         gmask = jnp.int32((1 << g) - 1)
         mask_f = jnp.where(fwd_cc, mword, mword >> 8) & gmask
@@ -164,7 +163,7 @@ def main():
                                lens, p.k, L, 1)
         return s_f + s_r
 
-    def stage_full(codes, lens):
+    def stage_full(t, codes, lens):
         bits, score, sf, sr = E._score_mate_groupband(codes, lens, t, p)
         return bits, score
 
@@ -194,9 +193,9 @@ def main():
                 r = fn(t, c_dev, l_dev)
                 return int(jnp.sum(r["score"]))
         else:
-            fn = jax.jit(lambda c, l, _f=f: chk(_f(c, l)))
+            fn = jax.jit(lambda T, c, l, _f=f: chk(_f(T, c, l)))
             def run(_fn=fn):
-                return int(_fn(c_dev, l_dev))
+                return int(_fn(eng.tables, c_dev, l_dev))
         t0 = time.time()
         run()
         compile_s = time.time() - t0

