@@ -789,10 +789,14 @@ def _build_groupband_tables(index: KmerIndex):
     n = hi.shape[0]
     if n == 0 or g > 8:
         return None
-    # two-choice keeps the bucket table ~16x denser (160 MB vs 2.7 GB on
-    # the 20k-allele library) at the cost of a second gather per probe;
-    # NIMBLE_TPU_GBAND_PLACEMENT=single keeps the sparse one-gather layout
-    two_choice = os.environ.get("NIMBLE_TPU_GBAND_PLACEMENT", "two") != "single"
+    # Placement A/B on the chip (scripts/ab_gband_placement.py, in-process
+    # interleaved): single-hash 68.1 ms vs two-choice 96.9 ms per 65536
+    # chunk - the second bucket gather costs ~29 ms, far more than the 16x
+    # denser table saves (row-gather cost is per row and barely
+    # table-size-sensitive). Default: sparse single-hash, one gather per
+    # probe; NIMBLE_TPU_GBAND_PLACEMENT=two opts into the dense layout
+    # (168 MB vs 2.7 GB of HBM) when memory is the binding constraint.
+    two_choice = os.environ.get("NIMBLE_TPU_GBAND_PLACEMENT", "single") == "two"
     # the host-side build (pre-AND + dedup) costs minutes at 4.6M entries;
     # cache per index object and placement mode (engine rebuilds reuse it)
     cache = getattr(index, "_gband_cache", None)
@@ -1567,11 +1571,10 @@ def _score_mate_group(codes, lens, tables, p: "AlignParams"):
     and_f, mask_f, and_r, mask_r = group_probe(*cat, tables, W, g)
     Q = cat[0].shape[1] - 1
 
-    score_f = coverage_score(
-        group_win_matched(mask_f, Q, g, P, jstar), lens, p.k, L, 1
-    )
-    score_r = coverage_score(
-        group_win_matched(mask_r, Q, g, P, jstar), lens, p.k, L, 1
+    score_f, score_r = coverage_score2(
+        group_win_matched(mask_f, Q, g, P, jstar),
+        group_win_matched(mask_r, Q, g, P, jstar),
+        lens, p.k, L, 1,
     )
     # the AND-intersection is order-independent and each probe's windows are
     # pre-ANDed: feed the (B, Q+1, W) probe planes directly (grid + tail,
@@ -1667,11 +1670,10 @@ def _score_mate_groupcls(codes, lens, tables, p: "AlignParams"):
     cls_f, cls_r, mask_f, mask_r = groupcls_probe(*cat, tables, g)
     Q = cat[0].shape[1] - 1
 
-    score_f = coverage_score(
-        group_win_matched(mask_f, Q, g, P, jstar), lens, p.k, L, 1
-    )
-    score_r = coverage_score(
-        group_win_matched(mask_r, Q, g, P, jstar), lens, p.k, L, 1
+    score_f, score_r = coverage_score2(
+        group_win_matched(mask_f, Q, g, P, jstar),
+        group_win_matched(mask_r, Q, g, P, jstar),
+        lens, p.k, L, 1,
     )
     if p.strand_filter == "fiveprime":
         use_fwd = jnp.ones_like(score_f, dtype=bool)
@@ -1826,11 +1828,10 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     mask_f = jnp.where(fwd_cc, mword, mword >> 8) & gmask
     mask_r = jnp.where(fwd_cc, mword >> 24, mword >> 16) & gmask
 
-    score_f = coverage_score(
-        group_win_matched(mask_f, Q, g, P, jstar), lens, p.k, L, 1
-    )
-    score_r = coverage_score(
-        group_win_matched(mask_r, Q, g, P, jstar), lens, p.k, L, 1
+    score_f, score_r = coverage_score2(
+        group_win_matched(mask_f, Q, g, P, jstar),
+        group_win_matched(mask_r, Q, g, P, jstar),
+        lens, p.k, L, 1,
     )
     if p.strand_filter == "fiveprime":
         use_fwd = jnp.ones_like(score_f, dtype=bool)
@@ -1891,6 +1892,39 @@ def coverage_score(matched: jnp.ndarray, lens: jnp.ndarray, k: int, L: int, stri
     covered = (mc[:, hi_idx] - mc[:, lo_idx]) > 0  # (B, L)
     in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
     return jnp.sum(covered & in_read, axis=1).astype(jnp.int32)
+
+
+def coverage_score2(matched_f, matched_r, lens, k: int, L: int, stride: int = 1):
+    """Both orientations' coverage scores in ONE cumsum + window pass: the
+    forward window count rides the low uint16 half and the reverse count
+    the high half of a single int32 plane (counts <= P <= 16363 fit, and
+    the packed cumsum stays < 2^31 for every max_len the engines accept —
+    MAX_LEN_LIMIT). Bit-identical to two coverage_score calls at half the
+    vector work (NIMBLE_TPU_NO_COV2=1 keeps the two-call path for A/B)."""
+    if os.environ.get("NIMBLE_TPU_NO_COV2", "") == "1":
+        return (
+            coverage_score(matched_f, lens, k, L, stride),
+            coverage_score(matched_r, lens, k, L, stride),
+        )
+    B, P = matched_f.shape
+    packed = matched_f.astype(jnp.int32) + (matched_r.astype(jnp.int32) << 16)
+    mc = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(packed, axis=1)],
+        axis=1,
+    )
+    b = np.arange(L)
+    j_high = b // stride
+    j_low = -((-(b - k + 1)) // stride)
+    hi_idx = np.minimum(j_high + 1, P)
+    lo_idx = np.clip(j_low, 0, P)
+    win = mc[:, hi_idx] - mc[:, lo_idx]  # (B, L), two uint16 fields
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    cov_f = ((win & 0xFFFF) > 0) & in_read
+    cov_r = (jax.lax.shift_right_logical(win, 16) > 0) & in_read
+    return (
+        jnp.sum(cov_f, axis=1).astype(jnp.int32),
+        jnp.sum(cov_r, axis=1).astype(jnp.int32),
+    )
 
 
 def and_reduce_bits(rows: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:
@@ -2083,8 +2117,9 @@ def _score_mate(codes, lens, tables, p: AlignParams):
         )
         matched_f = jnp.any(bits_f_w != 0, axis=-1)
         matched_r = jnp.any(bits_r_w != 0, axis=-1)
-        score_f = coverage_score(matched_f, lens, p.k, codes.shape[1], p.stride)
-        score_r = coverage_score(matched_r, lens, p.k, codes.shape[1], p.stride)
+        score_f, score_r = coverage_score2(
+            matched_f, matched_r, lens, p.k, codes.shape[1], p.stride
+        )
         return _select_orientation(
             bits_f_w, bits_r_w, matched_f, matched_r, score_f, score_r, p
         )
@@ -2115,8 +2150,9 @@ def _score_mate(codes, lens, tables, p: AlignParams):
         matched_f = cls_f >= 0
         matched_r = cls_r >= 0
 
-    score_f = coverage_score(matched_f, lens, p.k, codes.shape[1], p.stride)
-    score_r = coverage_score(matched_r, lens, p.k, codes.shape[1], p.stride)
+    score_f, score_r = coverage_score2(
+        matched_f, matched_r, lens, p.k, codes.shape[1], p.stride
+    )
 
     if p.strand_filter == "fiveprime":
         use_fwd = jnp.ones_like(score_f, dtype=bool)

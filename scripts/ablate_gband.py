@@ -167,12 +167,18 @@ def main():
         bits, score, sf, sr = E._score_mate_groupband(codes, lens, t, p)
         return bits, score
 
+    def stage_keys_pallas(t, codes, lens):
+        from nimble_tpu.align.kernels import kmer_keys_pallas
+
+        return kmer_keys_pallas(codes, lens, kg, nb)
+
     def chk(x):
         if isinstance(x, (tuple, list)):
             return sum(jnp.sum(v.astype(jnp.int32) & 0xFFFF) for v in x)
         return jnp.sum(x.astype(jnp.int32) & 0xFFFF)
 
     variants = [
+        ("keys-pallas", stage_keys_pallas),
         ("keys", stage_keys),
         ("probe", stage_probe),
         ("band-gather", stage_band),

@@ -120,15 +120,22 @@ def main():
     print(f"compile+first chunk: {time.time()-t0:.1f}s; pass {pass_rate:.3f}",
           file=sys.stderr, flush=True)
 
+    # the axon TPU is multi-tenant with >4x drift across minutes: take the
+    # best burst across several epochs spaced ~20 s apart (speed-of-light
+    # estimate, same method as bench.py)
     best = 1e9
-    for _ in range(12):
-        t0 = time.time()
-        acc = None
-        for _ in range(4):
-            s = engine._fn(engine.tables, c_dev, l_dev)["score"]
-            acc = s if acc is None else acc + s
-        _ = int(jnp.sum(acc))
-        best = min(best, time.time() - t0)
+    for epoch in range(5):
+        for _ in range(8):
+            t0 = time.time()
+            acc = None
+            for _ in range(4):
+                s = engine._fn(engine.tables, c_dev, l_dev)["score"]
+                acc = s if acc is None else acc + s
+            _ = int(jnp.sum(acc))
+            best = min(best, time.time() - t0)
+        print(f"  epoch {epoch}: best {best/4*1000:.2f} ms/chunk", flush=True)
+        if epoch < 4:
+            time.sleep(20)
     rate = 4 * chunk / best
     print(f"20k-allele wide-W path: {best/4*1000:.2f} ms/chunk({chunk}) = "
           f"{rate/1e6:.3f} M reads/s/chip", flush=True)
