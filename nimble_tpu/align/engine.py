@@ -798,13 +798,17 @@ def _build_groupband_tables(index: KmerIndex):
     # (168 MB vs 2.7 GB of HBM) when memory is the binding constraint.
     two_choice = os.environ.get("NIMBLE_TPU_GBAND_PLACEMENT", "single") == "two"
     # the host-side build (pre-AND + dedup) costs minutes at 4.6M entries;
-    # cache per index object and placement mode (engine rebuilds reuse it)
+    # cache per index object and layout mode (engine rebuilds reuse it)
+    mode_key = (
+        two_choice,
+        os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "1") != "0",
+    )
     cache = getattr(index, "_gband_cache", None)
     if cache is None:
         cache = {}
         index._gband_cache = cache
-    if two_choice in cache:
-        return cache[two_choice]
+    if mode_key in cache:
+        return cache[mode_key]
 
     # disk sidecar next to the persisted index: the host build costs
     # minutes at millions of entries, the load costs seconds. Guarded by a
@@ -815,6 +819,7 @@ def _build_groupband_tables(index: KmerIndex):
         step = max(1, n // 997)
         return np.array(
             [
+                GBAND_FORMAT_VERSION,
                 n,
                 int(index.pair_hi[::step].astype(np.int64).sum()),
                 int(index.pair_lo[::step].astype(np.int64).sum()),
@@ -825,9 +830,9 @@ def _build_groupband_tables(index: KmerIndex):
         )
 
     cp = getattr(index, "_cache_path", None)
-    tag = "two" if os.environ.get(
-        "NIMBLE_TPU_GBAND_PLACEMENT", "two"
-    ) != "single" else "single"
+    tag = ("two" if two_choice else "single") + (
+        "" if mode_key[1] else ".dense"
+    )
     disk = f"{cp}.gband.{tag}.npz" if cp else None
     if disk and os.path.exists(disk):
         try:
@@ -836,7 +841,7 @@ def _build_groupband_tables(index: KmerIndex):
                 out = {
                     k: jnp.asarray(z[k]) for k in z.files if k != "__fp"
                 }
-                cache[two_choice] = out
+                cache[mode_key] = out
                 return out
         except Exception:
             pass  # unreadable/stale sidecar: rebuild below
@@ -911,13 +916,32 @@ def _build_groupband_tables(index: KmerIndex):
     remap_s, remap_d = remap[:n], remap[n:]
 
     S = MONO_SLOTS
-    table = np.zeros((nb2, S * 5), dtype=np.int32)
+    # Two-level bucket storage: the sparse single-hash placement leaves
+    # ~86% of buckets empty, and XLA row-gather cost grows with the
+    # table's address span (round-4, same-session: 64 ns/row from the
+    # 2.7 GB dense table vs 13 ns/row from a 60 MB one). Store only the
+    # ~14% occupied buckets as packed rows plus an 8-lane pointer array:
+    # probe = ptr-row gather (32 B rows) + packed-row gather. Packed row 0
+    # is a reserved all-empty bucket that every empty slot points at.
+    indirect = os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "1") != "0"
+    if indirect:
+        occ_buckets = np.unique(b)
+        n_rows = occ_buckets.shape[0] + 1
+        ptr = np.zeros(nb2, dtype=np.int32)  # empty buckets -> row 0
+        ptr[occ_buckets] = np.arange(1, n_rows, dtype=np.int32)
+        rb = ptr[b]
+        ptr8 = ptr.reshape(-1, 8)
+    else:  # dense direct layout (one gather per probe, nb2 x 5S rows)
+        n_rows = nb2
+        rb = b
+        ptr8 = None
+    table = np.zeros((n_rows, S * 5), dtype=np.int32)
     table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
-    table[b, s] = hi[keys].view(np.int32)
-    table[b, S + s] = lo[keys].view(np.int32)
-    table[b, 2 * S + s] = remap_s[keys]  # same-orientation half row
-    table[b, 3 * S + s] = remap_d[keys]  # diff-orientation half row
-    table[b, 4 * S + s] = mask_word[keys]
+    table[rb, s] = hi[keys].view(np.int32)
+    table[rb, S + s] = lo[keys].view(np.int32)
+    table[rb, 2 * S + s] = remap_s[keys]  # same-orientation half row
+    table[rb, 3 * S + s] = remap_d[keys]  # diff-orientation half row
+    table[rb, 4 * S + s] = mask_word[keys]
 
     n_stash = skeys.shape[0]
     pad = max(1, n_stash)
@@ -934,6 +958,7 @@ def _build_groupband_tables(index: KmerIndex):
         gs_mask[:n_stash] = mask_word[skeys]
     out = {
         "gband_bucket": jnp.asarray(table),
+        **({"gband_ptr8": jnp.asarray(ptr8)} if ptr8 is not None else {}),
         "gband_table": jnp.asarray(band_table),
         "gband_stash_hi": jnp.asarray(gs_hi),
         "gband_stash_lo": jnp.asarray(gs_lo),
@@ -944,7 +969,7 @@ def _build_groupband_tables(index: KmerIndex):
     if not two_choice:
         # trace-time marker: probe only h1 (key never lives elsewhere)
         out["gband_single"] = jnp.zeros((1,), jnp.int32)
-    cache[two_choice] = out
+    cache[mode_key] = out
     if disk:
         try:
             tmp = disk + ".tmp.npz"
@@ -1000,6 +1025,10 @@ def unpack_outputs(flat: np.ndarray, W: int, valid: int) -> dict:
         "r2_rev": lo(2),
         "pass_": (hi(2) & 1).astype(bool),
     }
+
+
+# bump to invalidate persisted .gband sidecar caches on layout changes
+GBAND_FORMAT_VERSION = 2  # v2: two-level ptr8 + packed bucket rows
 
 
 class CompactOverflow(Exception):
@@ -1767,7 +1796,12 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     B, L = codes.shape
     P = L - p.k + 1
     PP = L - kg + 1
-    nb = tables["gband_bucket"].shape[0]
+    indirect = "gband_ptr8" in tables
+    nb = (
+        tables["gband_ptr8"].shape[0] * 8
+        if indirect
+        else tables["gband_bucket"].shape[0]
+    )
     W = tables["class_bits"].shape[1]
     Wb = tables["gband_table"].shape[1] - 1
     Pw = Wb // 2
@@ -1798,7 +1832,15 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     S = tables["gband_bucket"].shape[1] // 5
 
     def probe_bucket(h):
-        row = tables["gband_bucket"][h.astype(jnp.int32)]  # (B, Q+1, 5S)
+        hh = h.astype(jnp.int32)
+        if indirect:
+            # two-level: 8-lane pointer row (32 B) -> packed bucket row.
+            # Both tables are ~100 MB; two small-table gathers beat one
+            # from the 2.7 GB dense table (64 vs ~13 ns/row, PERF round-4)
+            pr = tables["gband_ptr8"][hh >> 3]  # (B, Q+1, 8)
+            lane = (hh & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
+            hh = jnp.sum(jnp.where(lane, pr, 0), axis=-1)
+        row = tables["gband_bucket"][hh]  # (B, Q+1, 5S)
         match = (row[..., 0:S] == hi_c[..., None]) & (
             row[..., S : 2 * S] == lo_c[..., None]
         )
@@ -1845,12 +1887,31 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     # (band_sel = use_fwd ? (fwd_c ? s : d) : (fwd_c ? d : s))
     u = use_fwd[:, None]
     idx_sel = jnp.where(fwd_cc == u, idx_s, idx_d)
-    brow = tables["gband_table"][jnp.clip(idx_sel, 0, None)]  # (B, Q+1, 1+Wb)
-    page_sel = brow[..., 0]
-    band_sel = brow[..., 1:]
     has_sel = jnp.where(u, mask_f, mask_r) != 0
-    pg, bd, has = _band_tree(page_sel, band_sel, has_sel, Pw)
-    bits = _expand_band(pg, bd, has, W, Pw)
+    if p.window_kernel:
+        # fused Pallas tree+expand: the jnp halving tree materializes
+        # (B, Q+1, Wb)-scale temporaries in HBM (+17.8 ms tree + 2.7 ms
+        # expand per 65536-chunk, docs/PERF.md round-4); the kernel keeps
+        # every level in VMEM. The gather feeds it in (Q+1, B, .) layout
+        # directly (a transposed index is free at gather time).
+        from nimble_tpu.align.kernels import band_tree_expand_pallas
+
+        browT = tables["gband_table"][
+            jnp.clip(idx_sel.T, 0, None)
+        ]  # (Q+1, B, 1+Wb)
+        bits = band_tree_expand_pallas(
+            browT[..., :1],
+            browT[..., 1:],
+            has_sel.T[..., None].astype(jnp.int32),
+            W,
+            Pw,
+        )
+    else:
+        brow = tables["gband_table"][jnp.clip(idx_sel, 0, None)]
+        page_sel = brow[..., 0]
+        band_sel = brow[..., 1:]
+        pg, bd, has = _band_tree(page_sel, band_sel, has_sel, Pw)
+        bits = _expand_band(pg, bd, has, W, Pw)
     score = jnp.where(use_fwd, score_f, score_r)
     return bits, score, score_f, score_r
 

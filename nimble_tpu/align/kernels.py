@@ -317,3 +317,117 @@ def mono_select_pallas(rowT, hi_i, lo_i, fc, pal, valid, stash, S: int, W: int,
     if pad:
         res = tuple(r[:, :B] for r in res)
     return res
+
+
+def _band_tree_body(Pw: int, W: int, Q1: int, page_ref, band_ref, has_ref,
+                    out_ref):
+    """Fused banded-intersection tree + band->full-width expansion for one
+    read block: the jnp halving tree materializes ~2 GB of (B, Q+1, Wb)
+    temporaries per 65536-chunk (measured +17.8 ms + 2.7 ms expand,
+    docs/PERF.md round-4); here every level lives in VMEM registers.
+
+    page/has arrive as (Q1, bb, 1), band as (Q1, bb, Wb); the AND-combine
+    is associative and commutative and a zero band expands to zero bits
+    regardless of its page, so any pairing order yields bit-identical
+    output to engine._band_tree + _expand_band."""
+    Wb = band_ref.shape[2]
+    halfw = Wb // 2
+    assert halfw == Pw
+
+    def comb(p1, b1, h1, p2, b2, h2):
+        zeros = jnp.zeros_like(b1[:, :Pw])
+        up1 = jnp.concatenate([b1[:, Pw:], zeros], axis=1)
+        up2 = jnp.concatenate([b2[:, Pw:], zeros], axis=1)
+        d = p2 - p1
+        nb = jnp.where(d == 0, b1 & b2, 0)
+        nb = jnp.where(d == 1, up1 & b2, nb)
+        nb = jnp.where(d == -1, b1 & up2, nb)
+        both = h1 & h2
+        band = jnp.where(both != 0, nb, jnp.where(h1 != 0, b1, b2))
+        page = jnp.where(
+            both != 0, jnp.maximum(p1, p2), jnp.where(h1 != 0, p1, p2)
+        )
+        return page, band, h1 | h2
+
+    pg = [page_ref[i] for i in range(Q1)]
+    bd = [band_ref[i] for i in range(Q1)]
+    hs = [has_ref[i] for i in range(Q1)]
+    n = Q1
+    while n > 1:
+        half = n // 2
+        for i in range(half):
+            pg[i], bd[i], hs[i] = comb(
+                pg[i], bd[i], hs[i], pg[half + i], bd[half + i], hs[half + i]
+            )
+        if n % 2:
+            pg[0], bd[0], hs[0] = comb(
+                pg[0], bd[0], hs[0], pg[n - 1], bd[n - 1], hs[n - 1]
+            )
+        n = half
+
+    page, band, has = pg[0], bd[0], hs[0]
+    lo = band[:, :Pw]
+    hi = band[:, Pw:]
+    n_pages = -(-W // Pw) + 1
+    for p in range(n_pages):
+        seg = jnp.where(page == p, lo, 0)
+        if p > 0:
+            seg = seg | jnp.where(page == p - 1, hi, 0)
+        seg = jnp.where(has != 0, seg, 0)
+        start = p * Pw
+        width = min(Pw, W - start)
+        if width > 0:
+            out_ref[:, start : start + width] = seg[:, :width]
+
+
+BAND_TREE_VMEM_BUDGET = 8 << 20
+
+
+def band_tree_block_b(Q1: int, Wb: int, W: int) -> int:
+    """Block rows whose tree working set (~3 live levels of (Q1, bb, Wb)
+    lane-padded planes + the (bb, W) output) fits the budget."""
+    per_row = 3 * Q1 * _lane_pad(Wb) + _lane_pad(W) + 3 * Q1 * 128
+    bb = BAND_TREE_VMEM_BUDGET // per_row
+    return max((bb // 8) * 8, 8)
+
+
+def band_tree_expand_pallas(page, band, has, W: int, Pw: int,
+                            interpret: bool = False, block_b: int = 0):
+    """page/has (Q1, B, 1) int32, band (Q1, B, Wb) int32 -> bits (B, W).
+    Bit-identical to engine._band_tree + _expand_band."""
+    Q1, B, Wb = band.shape
+    if block_b <= 0:
+        block_b = band_tree_block_b(Q1, Wb, W)
+    if B <= block_b:
+        grid_b, block_b, pad = 1, B, 0
+    else:
+        grid_b = -(-B // block_b)
+        pad = grid_b * block_b - B
+        if pad:
+            page, has = (
+                jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in (page, has)
+            )
+            band = jnp.pad(band, ((0, 0), (0, pad), (0, 0)))
+    out = jax.ShapeDtypeStruct((grid_b * block_b, W), jnp.int32)
+    spec1 = lambda: pl.BlockSpec(
+        (Q1, block_b, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    res = pl.pallas_call(
+        partial(_band_tree_body, Pw, W, Q1),
+        grid=(grid_b,),
+        out_shape=out,
+        in_specs=[
+            spec1(),
+            pl.BlockSpec(
+                (Q1, block_b, Wb), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            spec1(),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(page, band, has)
+    if pad:
+        res = res[:B]
+    return res

@@ -83,7 +83,11 @@ def main():
     B, L = chunk, READ_LEN
     P = L - p.k + 1
     PP = L - kg + 1
-    nb = t["gband_bucket"].shape[0]
+    nb = (
+        t["gband_ptr8"].shape[0] * 8
+        if "gband_ptr8" in t
+        else t["gband_bucket"].shape[0]
+    )
     W = t["class_bits"].shape[1]
     Wb = t["gband_table"].shape[1] - 1
     Pw = Wb // 2
@@ -109,7 +113,12 @@ def main():
         S = t["gband_bucket"].shape[1] // 5
 
         def pb(h):
-            row = t["gband_bucket"][h.astype(jnp.int32)]
+            hh = h.astype(jnp.int32)
+            if "gband_ptr8" in t:
+                pr = t["gband_ptr8"][hh >> 3]
+                lane = (hh & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
+                hh = jnp.sum(jnp.where(lane, pr, 0), axis=-1)
+            row = t["gband_bucket"][hh]
             match = (row[..., 0:S] == hi_c[..., None]) & (
                 row[..., S:2 * S] == lo_c[..., None])
             i_s = jnp.max(jnp.where(match, row[..., 2 * S:3 * S], -1), axis=-1)

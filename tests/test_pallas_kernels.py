@@ -82,3 +82,74 @@ def test_mono_select_kernel_matches_jnp():
     )
     assert np.array_equal(np.asarray(got_f).transpose(1, 2, 0), np.asarray(ref_f))
     assert np.array_equal(np.asarray(got_r).transpose(1, 2, 0), np.asarray(ref_r))
+
+
+@pytest.mark.parametrize("W,Pw,Q1", [(625, 32, 14), (100, 16, 7), (70, 8, 5)])
+def test_band_tree_expand_kernel_matches_jnp(W, Pw, Q1):
+    from nimble_tpu.align.engine import _band_tree, _expand_band
+    from nimble_tpu.align.kernels import band_tree_expand_pallas
+
+    rng = np.random.default_rng(3)
+    B, Wb = 24, 2 * Pw
+    n_pages_payload = -(-W // Pw)
+    page = rng.integers(0, n_pages_payload, size=(B, Q1)).astype(np.int32)
+    band = rng.integers(0, 1 << 31, size=(B, Q1, Wb), dtype=np.int64).astype(
+        np.int32
+    )
+    # realistic structure: many positions share the previous position's
+    # band (family runs), some positions miss entirely
+    for j in range(1, Q1):
+        same = rng.random(B) < 0.6
+        page[same, j] = page[same, j - 1]
+        band[same, j] = band[same, j - 1]
+    has = (rng.random((B, Q1)) < 0.8)
+    # a few reads with zero contributions (must expand to all-zero bits)
+    has[:3] = False
+
+    pg, bd, hs = _band_tree(
+        jnp.asarray(page), jnp.asarray(band), jnp.asarray(has), Pw
+    )
+    want = np.asarray(_expand_band(pg, bd, hs, W, Pw))
+
+    got = np.asarray(
+        band_tree_expand_pallas(
+            jnp.asarray(page.T[..., None]),
+            jnp.asarray(np.transpose(band, (1, 0, 2))),
+            jnp.asarray(has.T[..., None].astype(np.int32)),
+            W,
+            Pw,
+            interpret=True,
+        )
+    )
+    assert np.array_equal(want, got)
+
+
+def test_band_tree_expand_kernel_blocks():
+    """Multi-block grid path (B > block_b) slices padding correctly."""
+    from nimble_tpu.align.engine import _band_tree, _expand_band
+    from nimble_tpu.align.kernels import band_tree_expand_pallas
+
+    rng = np.random.default_rng(5)
+    B, Q1, Pw, W = 50, 4, 8, 40
+    Wb = 2 * Pw
+    page = rng.integers(0, 5, size=(B, Q1)).astype(np.int32)
+    band = rng.integers(0, 1 << 31, size=(B, Q1, Wb), dtype=np.int64).astype(
+        np.int32
+    )
+    has = rng.random((B, Q1)) < 0.7
+    pg, bd, hs = _band_tree(
+        jnp.asarray(page), jnp.asarray(band), jnp.asarray(has), Pw
+    )
+    want = np.asarray(_expand_band(pg, bd, hs, W, Pw))
+    got = np.asarray(
+        band_tree_expand_pallas(
+            jnp.asarray(page.T[..., None]),
+            jnp.asarray(np.transpose(band, (1, 0, 2))),
+            jnp.asarray(has.T[..., None].astype(np.int32)),
+            W,
+            Pw,
+            interpret=True,
+            block_b=16,
+        )
+    )
+    assert np.array_equal(want, got)
