@@ -801,7 +801,7 @@ def _build_groupband_tables(index: KmerIndex):
     # cache per index object and layout mode (engine rebuilds reuse it)
     mode_key = (
         two_choice,
-        os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "1") != "0",
+        os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "0") == "1",
     )
     cache = getattr(index, "_gband_cache", None)
     if cache is None:
@@ -923,7 +923,12 @@ def _build_groupband_tables(index: KmerIndex):
     # ~14% occupied buckets as packed rows plus an 8-lane pointer array:
     # probe = ptr-row gather (32 B rows) + packed-row gather. Packed row 0
     # is a reserved all-empty bucket that every empty slot points at.
-    indirect = os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "1") != "0"
+    # interleaved A/B (scripts/ab_engine_envs.py): dense direct 62.5 ms vs
+    # two-level 73.7 ms per 65536-chunk — the dependent pointer gather +
+    # lane select cost more than the smaller address span saves. Dense is
+    # the default; indirection stays available when HBM is tight (2.7 GB
+    # -> 0.5 GB of tables on the 20k-allele library).
+    indirect = os.environ.get("NIMBLE_TPU_GBAND_INDIRECT", "0") == "1"
     if indirect:
         occ_buckets = np.unique(b)
         n_rows = occ_buckets.shape[0] + 1
@@ -1898,14 +1903,16 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
 
         browT = tables["gband_table"][
             jnp.clip(idx_sel.T, 0, None)
-        ]  # (Q+1, B, 1+Wb)
-        bits = band_tree_expand_pallas(
-            browT[..., :1],
-            browT[..., 1:],
-            has_sel.T[..., None].astype(jnp.int32),
-            W,
-            Pw,
-        )
+        ]  # (Q+1, B, 1+Wb): [page | band]
+        packed = jnp.concatenate(
+            [
+                browT[..., 1:],
+                browT[..., :1],
+                has_sel.T[..., None].astype(jnp.int32),
+            ],
+            axis=-1,
+        )  # [band | page | has] share one 128-lane tile
+        bits = band_tree_expand_pallas(packed, W, Pw)
     else:
         brow = tables["gband_table"][jnp.clip(idx_sel, 0, None)]
         page_sel = brow[..., 0]

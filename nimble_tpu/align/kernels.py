@@ -319,22 +319,23 @@ def mono_select_pallas(rowT, hi_i, lo_i, fc, pal, valid, stash, S: int, W: int,
     return res
 
 
-def _band_tree_body(Pw: int, W: int, Q1: int, page_ref, band_ref, has_ref,
-                    out_ref):
+def _band_tree_body(Pw: int, W: int, Q1: int, in_ref, out_ref):
     """Fused banded-intersection tree + band->full-width expansion for one
     read block: the jnp halving tree materializes ~2 GB of (B, Q+1, Wb)
     temporaries per 65536-chunk (measured +17.8 ms + 2.7 ms expand,
-    docs/PERF.md round-4); here every level lives in VMEM registers.
+    docs/PERF.md round-4); here every level lives in VMEM.
 
-    page/has arrive as (Q1, bb, 1), band as (Q1, bb, Wb); the AND-combine
-    is associative and commutative and a zero band expands to zero bits
+    in_ref rows pack [band (Wb) | page | has] in the lane axis (all three
+    share one 128-lane tile; separate (.., 1)-minor arrays each pad to a
+    full tile and blow the scoped-VMEM budget). The AND-combine is
+    associative and commutative and a zero band expands to zero bits
     regardless of its page, so any pairing order yields bit-identical
     output to engine._band_tree + _expand_band."""
-    Wb = band_ref.shape[2]
-    halfw = Wb // 2
-    assert halfw == Pw
+    Wb = 2 * Pw
 
-    def comb(p1, b1, h1, p2, b2, h2):
+    def comb(a, b):
+        p1, b1, h1 = a
+        p2, b2, h2 = b
         zeros = jnp.zeros_like(b1[:, :Pw])
         up1 = jnp.concatenate([b1[:, Pw:], zeros], axis=1)
         up2 = jnp.concatenate([b2[:, Pw:], zeros], axis=1)
@@ -349,23 +350,20 @@ def _band_tree_body(Pw: int, W: int, Q1: int, page_ref, band_ref, has_ref,
         )
         return page, band, h1 | h2
 
-    pg = [page_ref[i] for i in range(Q1)]
-    bd = [band_ref[i] for i in range(Q1)]
-    hs = [has_ref[i] for i in range(Q1)]
+    vals = []
+    for i in range(Q1):
+        row = in_ref[i]
+        vals.append((row[:, Wb : Wb + 1], row[:, :Wb], row[:, Wb + 1 : Wb + 2]))
     n = Q1
     while n > 1:
         half = n // 2
         for i in range(half):
-            pg[i], bd[i], hs[i] = comb(
-                pg[i], bd[i], hs[i], pg[half + i], bd[half + i], hs[half + i]
-            )
+            vals[i] = comb(vals[i], vals[half + i])
         if n % 2:
-            pg[0], bd[0], hs[0] = comb(
-                pg[0], bd[0], hs[0], pg[n - 1], bd[n - 1], hs[n - 1]
-            )
+            vals[0] = comb(vals[0], vals[n - 1])
         n = half
 
-    page, band, has = pg[0], bd[0], hs[0]
+    page, band, has = vals[0]
     lo = band[:, :Pw]
     hi = band[:, Pw:]
     n_pages = -(-W // Pw) + 1
@@ -384,18 +382,21 @@ BAND_TREE_VMEM_BUDGET = 8 << 20
 
 
 def band_tree_block_b(Q1: int, Wb: int, W: int) -> int:
-    """Block rows whose tree working set (~3 live levels of (Q1, bb, Wb)
-    lane-padded planes + the (bb, W) output) fits the budget."""
-    per_row = 3 * Q1 * _lane_pad(Wb) + _lane_pad(W) + 3 * Q1 * 128
+    """Block rows sized so the double-buffered input block plus Mosaic's
+    conservatively-live tree temporaries (measured ~58 KB/row at Q1=14,
+    Wb=64, W=625 — about 7 lane-padded tiles per position) plus the output
+    block fit the budget."""
+    per_row = 7 * Q1 * _lane_pad(Wb + 2) * 4 + _lane_pad(W) * 4
     bb = BAND_TREE_VMEM_BUDGET // per_row
     return max((bb // 8) * 8, 8)
 
 
-def band_tree_expand_pallas(page, band, has, W: int, Pw: int,
+def band_tree_expand_pallas(packed, W: int, Pw: int,
                             interpret: bool = False, block_b: int = 0):
-    """page/has (Q1, B, 1) int32, band (Q1, B, Wb) int32 -> bits (B, W).
+    """packed (Q1, B, Wb+2) int32 rows [band | page | has] -> bits (B, W).
     Bit-identical to engine._band_tree + _expand_band."""
-    Q1, B, Wb = band.shape
+    Q1, B, Wb2 = packed.shape
+    Wb = Wb2 - 2
     if block_b <= 0:
         block_b = band_tree_block_b(Q1, Wb, W)
     if B <= block_b:
@@ -404,30 +405,23 @@ def band_tree_expand_pallas(page, band, has, W: int, Pw: int,
         grid_b = -(-B // block_b)
         pad = grid_b * block_b - B
         if pad:
-            page, has = (
-                jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in (page, has)
-            )
-            band = jnp.pad(band, ((0, 0), (0, pad), (0, 0)))
+            packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
     out = jax.ShapeDtypeStruct((grid_b * block_b, W), jnp.int32)
-    spec1 = lambda: pl.BlockSpec(
-        (Q1, block_b, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
     res = pl.pallas_call(
         partial(_band_tree_body, Pw, W, Q1),
         grid=(grid_b,),
         out_shape=out,
         in_specs=[
-            spec1(),
             pl.BlockSpec(
-                (Q1, block_b, Wb), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (Q1, block_b, Wb2), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
-            spec1(),
         ],
         out_specs=pl.BlockSpec(
             (block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(page, band, has)
+    )(packed)
     if pad:
         res = res[:B]
     return res

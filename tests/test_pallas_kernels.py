@@ -111,15 +111,16 @@ def test_band_tree_expand_kernel_matches_jnp(W, Pw, Q1):
     )
     want = np.asarray(_expand_band(pg, bd, hs, W, Pw))
 
+    packed = np.concatenate(
+        [
+            np.transpose(band, (1, 0, 2)),
+            page.T[..., None],
+            has.T[..., None].astype(np.int32),
+        ],
+        axis=-1,
+    )
     got = np.asarray(
-        band_tree_expand_pallas(
-            jnp.asarray(page.T[..., None]),
-            jnp.asarray(np.transpose(band, (1, 0, 2))),
-            jnp.asarray(has.T[..., None].astype(np.int32)),
-            W,
-            Pw,
-            interpret=True,
-        )
+        band_tree_expand_pallas(jnp.asarray(packed), W, Pw, interpret=True)
     )
     assert np.array_equal(want, got)
 
@@ -141,15 +142,17 @@ def test_band_tree_expand_kernel_blocks():
         jnp.asarray(page), jnp.asarray(band), jnp.asarray(has), Pw
     )
     want = np.asarray(_expand_band(pg, bd, hs, W, Pw))
+    packed = np.concatenate(
+        [
+            np.transpose(band, (1, 0, 2)),
+            page.T[..., None],
+            has.T[..., None].astype(np.int32),
+        ],
+        axis=-1,
+    )
     got = np.asarray(
         band_tree_expand_pallas(
-            jnp.asarray(page.T[..., None]),
-            jnp.asarray(np.transpose(band, (1, 0, 2))),
-            jnp.asarray(has.T[..., None].astype(np.int32)),
-            W,
-            Pw,
-            interpret=True,
-            block_b=16,
+            jnp.asarray(packed), W, Pw, interpret=True, block_b=16
         )
     )
     assert np.array_equal(want, got)
