@@ -1130,6 +1130,40 @@ def pack_outputs_compact(out: dict, H: int, SP: int) -> jnp.ndarray:
     )
 
 
+def compress_band_rows(bits: jnp.ndarray, Pw: int) -> jnp.ndarray:
+    """(B, W) expanded bitsets -> (B, 1+2*Pw) banded rows [page | band],
+    exact for any bitset whose nonzero words span <= 2 consecutive pages
+    anchored at the first nonzero page. Every gband result qualifies: a
+    single mate's bits are one expanded band, and every paired combination
+    except the intersect_level=1 union fallback is an AND of bands (ANDs
+    stay within either operand's span). Used by the banded wire codec —
+    W=625 full rows are 2.5 KB/read on a ~50 MB/s relay."""
+    B, W = bits.shape
+    n_pages = -(-W // Pw)
+    bp = jnp.pad(bits, ((0, 0), (0, (n_pages + 1) * Pw - W)))
+    page_has = jnp.any(
+        bp[:, : n_pages * Pw].reshape(B, n_pages, Pw) != 0, axis=2
+    )
+    page = jnp.argmax(page_has, axis=1).astype(jnp.int32)  # first nonzero
+    band = jnp.zeros((B, 2 * Pw), dtype=jnp.int32)
+    for pg in range(n_pages):
+        band = jnp.where(
+            (page == pg)[:, None], bp[:, pg * Pw : (pg + 2) * Pw], band
+        )
+    return jnp.concatenate([page[:, None], band], axis=1)
+
+
+def expand_band_rows_np(rows: np.ndarray, Pw: int, W: int) -> np.ndarray:
+    """Host inverse of compress_band_rows: (N, 1+2*Pw) -> (N, W)."""
+    n = rows.shape[0]
+    n_pages = -(-W // Pw)
+    out = np.zeros((n, (n_pages + 1) * Pw), dtype=np.int32)
+    page = rows[:, 0]
+    cols = page[:, None] * Pw + np.arange(2 * Pw)[None, :]
+    np.put_along_axis(out, cols, rows[:, 1:], axis=1)
+    return out[:, :W]
+
+
 def unpack_outputs_compact(
     flat: np.ndarray, C: int, H: int, SP: int, valid: int,
     W: Optional[int] = None,
@@ -1810,25 +1844,43 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
     W = tables["class_bits"].shape[1]
     Wb = tables["gband_table"].shape[1] - 1
     Pw = Wb // 2
-    if p.window_kernel:
+    jstar = jnp.clip(lens - kg, 0, PP - 1)
+    if p.window_kernel and os.environ.get(
+        "NIMBLE_TPU_GBAND_PALLAS_KEYS", "1"
+    ) != "0":
+        # full-position fused kernel, then stride. Interleaved A/B
+        # (round-4): 60.5 ms vs 62.4 ms for the strided-jnp variant below
+        # (which canonicalizes/hashes only the ~Q+1 probe positions but
+        # pays strided-slice relayouts) — the fused kernel stays default.
         from nimble_tpu.align.kernels import kmer_keys_pallas
 
         hi_i, lo_i, h1, h2, fwd_c, _palin, valid = kmer_keys_pallas(
             codes, lens, kg, nb
         )
+        onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
+        cat = []
+        for a in (hi_i, lo_i, h1, h2, fwd_c, valid):
+            t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(
+                axis=1, keepdims=True
+            )
+            cat.append(
+                jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1)
+            )
+        hi_c, lo_c, h1_c, h2_c, fwd_cc, valid_c = cat
     else:
+        # stride FIRST (CPU path / NIMBLE_TPU_GBAND_PALLAS_KEYS=0): the
+        # rolling (hi, lo) build is cheap shift/or work; canonicalization
+        # + hashing happen only at the g-strided grid + tail positions
         hi, lo, valid = kmer_hi_lo(codes, lens, kg)
-        c_hi, c_lo, fwd_c, _palin = _canonical_keys(hi, lo, kg)
-        h1, h2 = bucket_hashes_jnp(c_hi, c_lo, nb)
-        hi_i, lo_i = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
 
-    jstar = jnp.clip(lens - kg, 0, PP - 1)
-    onehot = jnp.arange(PP, dtype=jnp.int32)[None, :] == jstar[:, None]
-    cat = []
-    for a in (hi_i, lo_i, h1, h2, fwd_c, valid):
-        t = jnp.where(onehot, a.astype(jnp.int32), 0).sum(axis=1, keepdims=True)
-        cat.append(jnp.concatenate([a[:, ::g], t.astype(a.dtype)], axis=1))
-    hi_c, lo_c, h1_c, h2_c, fwd_cc, valid_c = cat
+        def pick(a):
+            t = jnp.take_along_axis(a, jstar[:, None].astype(jnp.int32), axis=1)
+            return jnp.concatenate([a[:, ::g], t], axis=1)
+
+        hi_s, lo_s, valid_c = pick(hi), pick(lo), pick(valid)
+        c_hi, c_lo, fwd_cc, _palin = _canonical_keys(hi_s, lo_s, kg)
+        h1_c, h2_c = bucket_hashes_jnp(c_hi, c_lo, nb)
+        hi_c, lo_c = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
     Q = hi_c.shape[1] - 1
 
     # two-choice probe: the key lives in one of two buckets
@@ -2542,12 +2594,40 @@ class AlignEngine:
             # span's payload is compact-format is STATIC. No payload-size
             # sniffing (sizes can collide between formats/widths); collect
             # trusts the dispatch-time tag and unpack gets W explicitly.
-            self._compact_W = int(index.bitset_words)
-            use_compact = self.compact_out and 2 <= self._compact_W <= GROUP_MAX_WORDS
+            W_idx = int(index.bitset_words)
+            self._compact_W = W_idx
+            use_compact = self.compact_out and 2 <= W_idx <= GROUP_MAX_WORDS
+            # banded wire: wide-W gband results compress exactly to
+            # [page | 2-page band] rows (compress_band_rows docstring) —
+            # 1+Wb words through the dictionary codec instead of W+3 full
+            # format (625+3 at 20k alleles = 2.5 KB/read, wire-dead).
+            # The intersect_level=1 paired union fallback can exceed a
+            # 2-page span, so that configuration keeps the full format.
+            self._banded_wire = None
+            if (
+                self.compact_out
+                and "gband_bucket" in self.tables
+                and W_idx > GROUP_MAX_WORDS
+                and (not paired or self.params.intersect_level != 1)
+            ):
+                Wb = int(self.tables["gband_table"].shape[1]) - 1
+                self._banded_wire = (Wb // 2, W_idx)
+                self._compact_W = 1 + Wb
+                use_compact = True
             self.compact_out = use_compact
 
             def emit(out):
                 W = out["bits"].shape[1]
+                if self._banded_wire is not None:
+                    Pw_b, W_full = self._banded_wire
+                    if W != W_full:
+                        raise AssertionError(
+                            f"traced bits width {W} != static {W_full}"
+                        )
+                    rows = compress_band_rows(out["bits"], Pw_b)
+                    return pack_outputs_compact(
+                        {**out, "bits": rows}, cH, cSP
+                    )
                 if use_compact:
                     if W != self._compact_W:
                         raise AssertionError(
@@ -2761,11 +2841,15 @@ class AlignEngine:
             # is static per engine, never inferred from payload size
             if len(entry) >= 4:
                 try:
-                    outs.append(
-                        unpack_outputs_compact(
-                            arr, C, H, SP, valid, W=self._compact_W
-                        )
+                    out = unpack_outputs_compact(
+                        arr, C, H, SP, valid, W=self._compact_W
                     )
+                    bw = getattr(self, "_banded_wire", None)
+                    if bw is not None:
+                        out["bits"] = expand_band_rows_np(
+                            out["bits"], bw[0], bw[1]
+                        )
+                    outs.append(out)
                     continue
                 except CompactOverflow:
                     # pathological collision load: rerun this span in the

@@ -372,3 +372,53 @@ def test_wide_paired_end(wide_lib):
     for i in range(16):
         if out["pass_"][i]:
             assert member[i].any()
+
+
+def test_banded_wire_matches_codes_path(family_lib):
+    """The banded compact wire (compress_band_rows on device -> dictionary
+    codec -> host expand) must reproduce the codes-path outputs exactly
+    through the packed scan dispatch."""
+    from nimble_tpu.io.packing import pack_batch
+
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(family_lib)
+    index = build_index(data, cfg, k=K)
+    rng = np.random.default_rng(77)
+    reads = sample_reads(rng, family_lib, 96, read_len=100, error_rate=0.02)
+    codes, lens = seqmod.encode_batch(reads, 100)
+
+    eng_ref = AlignEngine(index, cfg, max_len=100, chunk_size=64,
+                          scan_chunks=2, compact_out=False)
+    ref = eng_ref.collect_async(eng_ref.align_batch_async(codes, lens))
+
+    eng = AlignEngine(index, cfg, max_len=100, chunk_size=64,
+                      scan_chunks=2, compact_out=True)
+    assert eng._banded_wire is not None, "banded wire inactive"
+    pb = pack_batch({"r1_codes": codes, "r1_lens": lens}, 100)
+    got = eng.collect_async(eng.align_packed_async(pb))
+    for k in ("bits", "score", "r1_fwd", "r2_fwd", "pass_"):
+        assert np.array_equal(ref[k], got[k]), k
+
+
+def test_compress_expand_band_rows_roundtrip():
+    from nimble_tpu.align.engine import (
+        compress_band_rows,
+        expand_band_rows_np,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    W, Pw = 70, 8
+    n_pages = -(-W // Pw)
+    bits = np.zeros((40, W), dtype=np.int32)
+    for i in range(40):
+        pg = int(rng.integers(0, n_pages))
+        span = rng.integers(0, 1 << 31, size=2 * Pw, dtype=np.int64).astype(
+            np.int32
+        )
+        end = min((pg + 2) * Pw, W)
+        bits[i, pg * Pw : end] = span[: end - pg * Pw]
+    bits[:5] = 0  # all-zero rows survive
+    rows = np.asarray(compress_band_rows(jnp.asarray(bits), Pw))
+    back = expand_band_rows_np(rows, Pw, W)
+    assert np.array_equal(bits, back)
