@@ -94,7 +94,8 @@ def main():
     lens = np.full(n_reads, READ_LEN, dtype=np.int32)
 
     t0 = time.time()
-    engine = AlignEngine(index, config, chunk_size=None, max_len=READ_LEN)
+    chunk_arg = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    engine = AlignEngine(index, config, chunk_size=chunk_arg, max_len=READ_LEN)
     chunk = engine.chunk_size
     path = next(
         (k for k in ("group_bucket", "gband_bucket", "groupcls_bucket",
