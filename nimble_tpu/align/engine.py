@@ -936,17 +936,38 @@ def _build_groupband_tables(index: KmerIndex):
         ptr[occ_buckets] = np.arange(1, n_rows, dtype=np.int32)
         rb = ptr[b]
         ptr8 = ptr.reshape(-1, 8)
-    else:  # dense direct layout (one gather per probe, nb2 x 5S rows)
+    else:  # dense direct layout (one gather per probe)
         n_rows = nb2
         rb = b
         ptr8 = None
-    table = np.zeros((n_rows, S * 5), dtype=np.int32)
-    table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
-    table[rb, s] = hi[keys].view(np.int32)
-    table[rb, S + s] = lo[keys].view(np.int32)
-    table[rb, 2 * S + s] = remap_s[keys]  # same-orientation half row
-    table[rb, 3 * S + s] = remap_d[keys]  # diff-orientation half row
-    table[rb, 4 * S + s] = mask_word[keys]
+    # packed rows [hi S | lo S | w0 S | w1 S] when the half-row indices
+    # fit 18 bits and g <= 6 (w0 = idx_s | vs<<18 | vd<<24, w1 = idx_d |
+    # rvs<<18 | rvd<<24): 64 B rows instead of 80 B — ~20% less table
+    # address span for the dominant probe gather. Wider configs keep the
+    # 5-plane layout.
+    n_band_rows = band_table.shape[0]
+    packed_rows = n_band_rows < (1 << 18) and g <= 6
+    if packed_rows:
+        vs_m = mask_word & 0x3F
+        vd_m = (mask_word >> 8) & 0x3F
+        rvs_m = (mask_word >> 16) & 0x3F
+        rvd_m = (mask_word >> 24) & 0x3F
+        w0 = remap_s | (vs_m << 18) | (vd_m << 24)
+        w1 = remap_d | (rvs_m << 18) | (rvd_m << 24)
+        table = np.zeros((n_rows, S * 4), dtype=np.int32)
+        table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+        table[rb, s] = hi[keys].view(np.int32)
+        table[rb, S + s] = lo[keys].view(np.int32)
+        table[rb, 2 * S + s] = w0[keys]
+        table[rb, 3 * S + s] = w1[keys]
+    else:
+        table = np.zeros((n_rows, S * 5), dtype=np.int32)
+        table[:, 0:S] = -1  # EMPTY key sentinel in the hi plane
+        table[rb, s] = hi[keys].view(np.int32)
+        table[rb, S + s] = lo[keys].view(np.int32)
+        table[rb, 2 * S + s] = remap_s[keys]  # same-orientation half row
+        table[rb, 3 * S + s] = remap_d[keys]  # diff-orientation half row
+        table[rb, 4 * S + s] = mask_word[keys]
 
     n_stash = skeys.shape[0]
     pad = max(1, n_stash)
@@ -974,6 +995,8 @@ def _build_groupband_tables(index: KmerIndex):
     if not two_choice:
         # trace-time marker: probe only h1 (key never lives elsewhere)
         out["gband_single"] = jnp.zeros((1,), jnp.int32)
+    if packed_rows:
+        out["gband_packedrow"] = jnp.zeros((1,), jnp.int32)
     cache[mode_key] = out
     if disk:
         try:
@@ -1033,7 +1056,7 @@ def unpack_outputs(flat: np.ndarray, W: int, valid: int) -> dict:
 
 
 # bump to invalidate persisted .gband sidecar caches on layout changes
-GBAND_FORMAT_VERSION = 2  # v2: two-level ptr8 + packed bucket rows
+GBAND_FORMAT_VERSION = 3  # v3: 16-int packed probe rows (idx|masks words)
 
 
 class CompactOverflow(Exception):
@@ -1883,24 +1906,40 @@ def _score_mate_groupband(codes, lens, tables, p: "AlignParams"):
         hi_c, lo_c = _bitcast_i32(c_hi), _bitcast_i32(c_lo)
     Q = hi_c.shape[1] - 1
 
-    # two-choice probe: the key lives in one of two buckets
-    # (_two_choice_placement keeps the table ~16x denser than single-hash;
-    # two gathers from a small table beat one from a TLB-hostile giant)
-    S = tables["gband_bucket"].shape[1] // 5
+    packedrow = "gband_packedrow" in tables
+    S = tables["gband_bucket"].shape[1] // (4 if packedrow else 5)
 
     def probe_bucket(h):
         hh = h.astype(jnp.int32)
         if indirect:
-            # two-level: 8-lane pointer row (32 B) -> packed bucket row.
-            # Both tables are ~100 MB; two small-table gathers beat one
-            # from the 2.7 GB dense table (64 vs ~13 ns/row, PERF round-4)
+            # two-level: 8-lane pointer row (32 B) -> packed bucket row
+            # (NIMBLE_TPU_GBAND_INDIRECT=1; loses the dense-layout A/B
+            # but uses 5x less HBM)
             pr = tables["gband_ptr8"][hh >> 3]  # (B, Q+1, 8)
             lane = (hh & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
             hh = jnp.sum(jnp.where(lane, pr, 0), axis=-1)
-        row = tables["gband_bucket"][hh]  # (B, Q+1, 5S)
+        row = tables["gband_bucket"][hh]  # (B, Q+1, 4S or 5S)
         match = (row[..., 0:S] == hi_c[..., None]) & (
             row[..., S : 2 * S] == lo_c[..., None]
         )
+        if packedrow:
+            # w0 = idx_s | vs<<18 | vd<<24, w1 = idx_d | rvs<<18 | rvd<<24
+            w0 = jnp.max(
+                jnp.where(match, row[..., 2 * S : 3 * S], -1), axis=-1
+            )
+            w1 = jnp.max(
+                jnp.where(match, row[..., 3 * S : 4 * S], -1), axis=-1
+            )
+            i_s = jnp.where(w0 >= 0, w0 & 0x3FFFF, -1)
+            i_d = jnp.where(w1 >= 0, w1 & 0x3FFFF, -1)
+            mw = (
+                ((w0 >> 18) & 0x3F)
+                | (((w0 >> 24) & 0x3F) << 8)
+                | (((w1 >> 18) & 0x3F) << 16)
+                | (((w1 >> 24) & 0x3F) << 24)
+            )
+            mw = jnp.where(w0 >= 0, mw, 0)
+            return i_s, i_d, mw
         i_s = jnp.max(jnp.where(match, row[..., 2 * S : 3 * S], -1), axis=-1)
         i_d = jnp.max(jnp.where(match, row[..., 3 * S : 4 * S], -1), axis=-1)
         mw = jnp.where(match, row[..., 4 * S : 5 * S], 0).sum(axis=2)
