@@ -51,6 +51,13 @@ def main(argv=None) -> int:
         help="Multi-chip mesh spec: 'data=N[,feature=M]' or 'auto' (all "
              "devices on the data axis). Default: single device.",
     )
+    align_parser.add_argument(
+        "--probe", type=str, default="group", choices=("group", "mono"),
+        help="k-mer probe path: 'group' (default; one probe per g=6 read "
+             "windows — faster and more error-tolerant, see README "
+             "'Probe paths') or 'mono' (per-k-mer probing, the "
+             "reference-faithful contract).",
+    )
 
     report_parser = subparsers.add_parser("report")
     report_parser.add_argument("-i", "--input", type=str, required=True)
@@ -96,6 +103,11 @@ def main(argv=None) -> int:
         help="Output .npz (default: the <reference>.idx.npz sidecar that `align` auto-loads)",
     )
     index_parser.add_argument("--kmer-length", type=int, default=None)
+    index_parser.add_argument(
+        "--probe", type=str, default="group", choices=("group", "mono"),
+        help="Probe path the index is built for (must match the later "
+             "`align --probe`; see align --help).",
+    )
 
     args = parser.parse_args(argv)
 
@@ -121,6 +133,7 @@ def main(argv=None) -> int:
             trim=args.trim,
             mesh=args.mesh,
             num_cores=args.num_cores,
+            probe=args.probe,
         )
     if args.subcommand == "report":
         from nimble_tpu.report.tsv import report
@@ -169,10 +182,14 @@ def main(argv=None) -> int:
         )
 
         config, data = load_library(args.reference)
-        idx = build_index(data, config, k=args.kmer_length)
+        group_g = 0 if args.probe == "mono" else None
+        idx = build_index(data, config, k=args.kmer_length, group_g=group_g)
         out = args.output or index_cache_path(args.reference)
         # stamp the content-hash key so `align` trusts and reuses the file
-        idx.save(out, cache_key=index_cache_key(args.reference, args.kmer_length))
+        idx.save(
+            out,
+            cache_key=index_cache_key(args.reference, args.kmer_length, group_g),
+        )
         print(
             f"Indexed {idx.n_kmers} k-mers, {idx.n_features} features, "
             f"{idx.n_classes} classes -> {out}"

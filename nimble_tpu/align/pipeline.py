@@ -325,9 +325,12 @@ def make_runner(
     kmer_length: Optional[int] = None,
     mesh=None,
     build_engine: bool = True,
+    group_g: Optional[int] = None,
 ) -> LibraryRunner:
     config, data = load_library(library_path)
-    index = build_index_for_library(library_path, data, config, k=kmer_length)
+    index = build_index_for_library(
+        library_path, data, config, k=kmer_length, group_g=group_g
+    )
     engine = None
     if build_engine:
         engine = AlignEngine(
@@ -759,6 +762,7 @@ def align_files(
     mesh: str = "",
     num_cores: int = 1,
     inflight_batches: int = 2,
+    probe: str = "group",
 ) -> int:
     """The `align` subcommand: 1-2 FASTQs or 1 BAM vs comma-separated
     library list, one output TSV per library (reference: __main__.py:153-211).
@@ -817,6 +821,16 @@ def align_files(
     from nimble_tpu.observability import Throughput, profile, runlog
 
     _enable_compilation_cache()
+    if probe not in ("", "group", "mono"):
+        raise ValueError(f"--probe must be 'group' or 'mono', got {probe!r}")
+    # probe path selection (`align --probe`): "group" (default) probes one
+    # (k+g-1)-mer per g read windows — faster and, by the recorded A/B
+    # (docs/PERF.md round-4), more accurate under sequencing error, but its
+    # per-window hit pattern on errored reads can differ from per-k-mer
+    # probing. "mono" probes every k-window individually, the
+    # reference-faithful contract. Threaded as group_g into the index build
+    # (0 = no group entries -> the engine selects the mono path).
+    group_g = 0 if probe == "mono" else None
     log = runlog()
     world_pid, world_n = _align_world()
     if world_n > 1:
@@ -872,6 +886,7 @@ def align_files(
                 chunk_size=chunk_size,
                 max_len=reader_len,
                 build_engine=False,
+                group_g=group_g,
             )
             if lib_idx in trim_targets:
                 runner.trim = trim_targets[lib_idx]

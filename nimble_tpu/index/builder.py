@@ -294,18 +294,21 @@ def index_cache_path(library_path: str) -> str:
     return library_path + ".idx.npz"
 
 
-def index_cache_key(library_path: str, k: Optional[int]) -> str:
+def index_cache_key(
+    library_path: str, k: Optional[int], group_g: Optional[int] = None
+) -> str:
     """Cache key for a persisted index: format version + explicit-k override
-    + content hash of the library JSON (which embeds the Config, so
-    kmer_length/num_mismatches/group_on changes invalidate it)."""
+    + probe grouping + content hash of the library JSON (which embeds the
+    Config, so kmer_length/num_mismatches/group_on changes invalidate it)."""
     import hashlib
 
+    g = _group_g() if group_g is None else int(group_g)
     h = hashlib.sha256()
     with open(library_path, "rb") as f:
         for block in iter(lambda: f.read(1 << 20), b""):
             h.update(block)
     return (
-        f"v{INDEX_FORMAT_VERSION}:k={int(k or 0)}:g={_group_g()}:"
+        f"v{INDEX_FORMAT_VERSION}:k={int(k or 0)}:g={g}:"
         f"{h.hexdigest()[:24]}"
     )
 
@@ -316,12 +319,15 @@ def build_index_for_library(
     config: Optional[Config] = None,
     k: Optional[int] = None,
     cache: Optional[bool] = None,
+    group_g: Optional[int] = None,
 ):
     """Build the device index for a library file, transparently reusing the
     persisted `<library>.idx.npz` sidecar when its cache key matches (the
     reference rebuilds its dBG index at every alignment startup — SURVEY
     §2.4; a 20k-allele library costs minutes to index, so `align` must not).
-    Set cache=False or NIMBLE_TPU_NO_INDEX_CACHE=1 to force a rebuild."""
+    Set cache=False or NIMBLE_TPU_NO_INDEX_CACHE=1 to force a rebuild.
+    group_g: probe-grouping override (see build_index); part of the cache
+    key, so group and mono indexes cache independently-validly."""
     import os
 
     if cache is None:
@@ -330,7 +336,7 @@ def build_index_for_library(
     cache_path = index_cache_path(library_path)
     if cache:
         try:
-            key = index_cache_key(library_path, k)
+            key = index_cache_key(library_path, k, group_g)
             if os.path.exists(cache_path):
                 with np.load(cache_path, allow_pickle=True) as z:
                     fresh = "cache_key" in z.files and str(z["cache_key"]) == key
@@ -338,7 +344,7 @@ def build_index_for_library(
                     return KmerIndex.load(cache_path)
         except (OSError, ValueError, KeyError):
             key = None  # unreadable library/cache: build, don't persist
-    index = build_index(data, config, k=k)
+    index = build_index(data, config, k=k, group_g=group_g)
     if cache and key is not None:
         try:
             index.save(cache_path, cache_key=key)
@@ -596,13 +602,19 @@ def build_index(
     config: Optional[Config] = None,
     k: Optional[int] = None,
     use_native: Optional[bool] = None,
+    group_g: Optional[int] = None,
 ) -> KmerIndex:
     """Build the full device index from a library's Data + Config.
 
     Dispatches to the native C++ builder (index/native.py) when available —
     semantics-equivalent, minutes -> seconds on large libraries; class
     numbering may differ from the numpy build. use_native=False (or env
-    NIMBLE_TPU_NO_NATIVE_INDEX=1) forces the pure-numpy path."""
+    NIMBLE_TPU_NO_NATIVE_INDEX=1) forces the pure-numpy path.
+
+    group_g: explicit probe-grouping override — 0 builds a mono (per-k-mer)
+    probe index, >=2 a g-window group index; None defers to
+    NIMBLE_TPU_GROUP_G / the GROUP_G default (the `align --probe` flag
+    threads through here)."""
     import os
 
     if use_native is None:
@@ -620,7 +632,7 @@ def build_index(
     if index is None:
         index = _build_index_numpy(data, config, k)
     if (config or Config()).num_mismatches == 0:
-        index = _attach_group_entries(index, data)
+        index = _attach_group_entries(index, data, g=group_g)
     return index
 
 
