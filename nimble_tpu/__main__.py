@@ -108,6 +108,23 @@ def main(argv=None) -> int:
         help="Probe path the index is built for (must match the later "
              "`align --probe`; see align --help).",
     )
+    index_parser.add_argument(
+        "--warm", type=int, default=0, metavar="READ_LEN", nargs="?", const=100,
+        help="AOT-precompile the align dispatch programs for reads of this "
+             "length (default 100 when given bare) into the persistent "
+             "compile cache, so the first `align` run doesn't pay minutes "
+             "of serial compiles on a fresh library geometry.",
+    )
+    index_parser.add_argument(
+        "--paired", action="store_true", default=False,
+        help="With --warm: precompile the paired-end (R1+R2 / BAM) "
+             "programs instead of single-end.",
+    )
+    index_parser.add_argument(
+        "--chunk-size", type=int, default=0,
+        help="With --warm: chunk size to precompile for (0 = the auto "
+             "size `align --chunk-size 0` would pick).",
+    )
 
     args = parser.parse_args(argv)
 
@@ -194,6 +211,34 @@ def main(argv=None) -> int:
             f"Indexed {idx.n_kmers} k-mers, {idx.n_features} features, "
             f"{idx.n_classes} classes -> {out}"
         )
+        if args.warm:
+            # mirror align's engine construction exactly (auto max_len
+            # rounding, auto chunk size) so the compiled programs' cache
+            # keys match what the first real `align` run will look up
+            import time as _time
+
+            from nimble_tpu.align.engine import AlignEngine
+            from nimble_tpu.align.pipeline import (
+                _enable_compilation_cache,
+                _round_len,
+            )
+
+            _enable_compilation_cache()
+            t0 = _time.time()
+            engine = AlignEngine(
+                idx,
+                config,
+                chunk_size=args.chunk_size or None,
+                max_len=min(_round_len(args.warm), 256),
+                paired=args.paired,
+            )
+            n = engine.warmup()
+            print(
+                f"Warmed {n} dispatch program(s) (read_len {args.warm}, "
+                f"chunk {engine.chunk_size} x {engine.scan_chunks}, "
+                f"{'paired' if args.paired else 'single-end'}) in "
+                f"{_time.time() - t0:.1f}s"
+            )
         return 0
 
     parser.print_help()

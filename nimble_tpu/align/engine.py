@@ -2849,6 +2849,45 @@ class AlignEngine:
             pending.append((self._fn_packed_in(self.tables, *args), end - start))
         return pending
 
+    def warmup(self) -> int:
+        """AOT-compile this engine's CLI dispatch programs on zero-filled
+        spans so their executables land in the (persistent) compilation
+        cache before any real read is seen. Returns the number of programs
+        compiled/loaded.
+
+        A cold `align` on the TPU relay serializes minutes of compiles
+        into its first span (BENCH_r04: 776 s); `nimble_tpu index --warm`
+        calls this at index-build time so the first real run's jit calls
+        hit the disk cache instead. Compiles exactly what
+        align_packed_async dispatches for this engine's geometry: the
+        scanned packed-wire program in both N-sidecar variants (sparse +
+        dense), or the single-chunk packed program when scanning is off.
+        The compact spill-overflow fallbacks stay lazy (rare by design)."""
+        span = self.chunk_size * max(self.scan_chunks, 1)
+        L = self.max_len
+        Lw = (L + 15) // 16
+        Lf = (L + 31) // 32
+        mates = ("r1", "r2") if self.paired else ("r1",)
+
+        def zero_batch(n_flagged: int) -> dict:
+            pb = {}
+            for mate in mates:
+                pb[f"{mate}_words"] = np.zeros((span, Lw), dtype=np.int32)
+                pb[f"{mate}_lens"] = np.full(span, L, dtype=np.int32)
+                pb[f"{mate}_nidx"] = np.arange(n_flagged, dtype=np.int32)
+                pb[f"{mate}_nrows"] = np.zeros((n_flagged, Lf), dtype=np.int32)
+            return pb
+
+        compiled = 0
+        # sparse-sidecar variant (no N reads), then the dense-flag variant
+        # (every read flagged overflows sidecar_cap exactly like a real
+        # N-heavy span would)
+        for n_flagged in (0,) if self.scan_chunks <= 1 else (0, span):
+            pending = self.align_packed_async(zero_batch(n_flagged))
+            self.collect_async(pending)  # blocks until compiled + executed
+            compiled += 1
+        return compiled
+
     @staticmethod
     def _densify(mate_args, span):
         """Sidecar mate args -> dense-flag mate args (span level)."""

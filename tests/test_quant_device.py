@@ -141,3 +141,51 @@ class TestDeviceQuant:
         got = report_device(cbs, umis, bits.view(np.int32), scores, vocab, 0.05)
         expected, _ = report_rows(rows, 0.05)
         assert got == expected
+
+
+class TestTieProximityGuard:
+    """report --device tie guard (VERDICT r4 item 7): score ratios within
+    NIMBLE_TPU_TIE_EPS of the threshold are float32-order-sensitive; the
+    device path must count them and warn, and host/device outputs must
+    still reconcile on the adversarial workload itself."""
+
+    def test_exact_boundary_ratio_warns(self, capsys):
+        # one UMI, feature B's ratio is EXACTLY the 0.25 threshold
+        # (1 / 4, both exact in binary): decision sits on the boundary
+        rows = [
+            ("c1", "U1", "A", 3.0),
+            ("c1", "U1", "B", 1.0),
+        ]
+        got, expected = run_both(rows, 0.25)
+        err = capsys.readouterr().err
+        assert "WARNING" in err and "threshold" in err
+        assert got == expected  # reconciled on this workload
+
+    def test_clear_ratios_do_not_warn(self, capsys):
+        rows = [
+            ("c1", "U1", "A,B", 10.0),
+            ("c1", "U1", "A,C", 20.0),
+        ]
+        got, expected = run_both(rows, 0.2)
+        err = capsys.readouterr().err
+        assert "WARNING" not in err
+        assert got == expected
+
+    def test_guard_disabled_by_env(self, capsys, monkeypatch):
+        monkeypatch.setenv("NIMBLE_TPU_TIE_EPS", "0")
+        rows = [
+            ("c1", "U1", "A", 3.0),
+            ("c1", "U1", "B", 1.0),
+        ]
+        got, expected = run_both(rows, 0.25)
+        assert "WARNING" not in capsys.readouterr().err
+        assert got == expected
+
+    def test_no_warning_when_thresholding_disabled(self, capsys):
+        rows = [
+            ("c1", "U1", "A", 3.0),
+            ("c1", "U1", "B", 1.0),
+        ]
+        got, expected = run_both(rows, 0.25, disable=True)
+        assert "WARNING" not in capsys.readouterr().err
+        assert got == expected
