@@ -84,7 +84,19 @@ def build_workload():
     rc = np.random.default_rng(1).random(N_READS) < 0.5
     codes[rc] = seqmod.revcomp_codes(codes[rc])
     lens = np.full(N_READS, READ_LEN, dtype=np.int32)
-    return index, config, codes, lens
+
+    # R2 mates for the paired operating point: reverse complement of a
+    # window 120 bp downstream of R1 on the same source allele (the 10x
+    # R1/R2 shape out of the reference's barcode processor, reference:
+    # nimble/fastq_barcode_processor.py:144-209), same 1% error model
+    starts2 = np.minimum(starts + 120, ALLELE_LEN - READ_LEN)
+    codes2 = np.empty((N_READS, READ_LEN), dtype=np.int8)
+    for i in range(N_READS):
+        codes2[i] = alleles[src_ids[i]][starts2[i] : starts2[i] + READ_LEN]
+    err2 = rng.random((N_READS, READ_LEN)) < ERROR_RATE
+    codes2 = np.where(err2, rng.integers(0, 4, size=codes2.shape), codes2).astype(np.int8)
+    codes2 = seqmod.revcomp_codes(codes2)
+    return index, config, codes, lens, codes2
 
 
 def main():
@@ -101,7 +113,7 @@ def main():
     from nimble_tpu.align.engine import AlignEngine
     from nimble_tpu.io.packing import pack_batch
 
-    index, config, codes, lens = build_workload()
+    index, config, codes, lens, codes2 = build_workload()
     engine = AlignEngine(index, config, chunk_size=CHUNK, max_len=READ_LEN)
     chunk = engine.chunk_size
     S = engine.scan_chunks
@@ -113,6 +125,7 @@ def main():
     if codes.shape[0] < span:
         reps = -(-span // codes.shape[0])
         codes = np.tile(codes, (reps, 1))[:span]
+        codes2 = np.tile(codes2, (reps, 1))[:span]
         lens = np.tile(lens, reps)[:span]
 
     # The PRIMARY measured program is the CLI's own operating point: the
@@ -174,6 +187,40 @@ def main():
     exec_rate = 2 * span / best_exec
     log(f"exec ceiling (device-resident): {exec_rate/1e6:.2f} M reads/s")
 
+    # paired-end operating point (secondary field; the r04 primary metric
+    # definition above stays frozen — VERDICT r4 item 9): R1+R2 through a
+    # paired engine, same packed-wire 2-spans-in-flight dispatch. This is
+    # the reference's primary workload shape (10x read-pairs).
+    engine_p = AlignEngine(
+        index, config, chunk_size=CHUNK, max_len=READ_LEN, paired=True
+    )
+    span_p = engine_p.scan_chunks * engine_p.chunk_size
+    log(f"paired chunk size: {engine_p.chunk_size}; scan_chunks: {engine_p.scan_chunks}")
+    reps = -(-span_p // codes.shape[0])
+    c1 = np.tile(codes, (reps, 1))[:span_p]
+    c2 = np.tile(codes2, (reps, 1))[:span_p]
+    lp = np.tile(lens, reps)[:span_p]
+    pb_p = pack_batch(
+        {"r1_codes": c1, "r1_lens": lp, "r2_codes": c2, "r2_lens": lp},
+        READ_LEN,
+    )
+    t0 = time.time()
+    h = engine_p.align_packed_async(pb_p)
+    out_p = engine_p.collect_async(h)
+    log(f"paired compile+first span ({span_p} pairs): {time.time() - t0:.2f}s; "
+        f"pass rate {out_p['pass_'].mean():.3f}")
+    best_p = float("inf")
+    for _ in range(8):
+        t0 = time.time()
+        h1 = engine_p.align_packed_async(pb_p)
+        h2 = engine_p.align_packed_async(pb_p)
+        engine_p.collect_async(h1)
+        engine_p.collect_async(h2)
+        best_p = min(best_p, time.time() - t0)
+    pairs_per_s = 2 * span_p / best_p
+    log(f"paired best 2-inflight: 2 x {span_p} pairs in {best_p:.3f}s "
+        f"= {pairs_per_s/1e6:.3f} M pairs/s")
+
     result = {
         "metric": (
             "pseudoalign+score CLI-operating-point throughput: packed wire "
@@ -186,6 +233,7 @@ def main():
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
         "exec_ceiling_reads_per_s": round(exec_rate, 1),
+        "paired_pairs_per_s": round(pairs_per_s, 1),
     }
     print(json.dumps(result))
 

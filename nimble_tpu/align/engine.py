@@ -1153,6 +1153,15 @@ def pack_outputs_compact(out: dict, H: int, SP: int) -> jnp.ndarray:
     )
 
 
+def _popcount32_rows(words: jnp.ndarray) -> jnp.ndarray:
+    """(B, W) int32 -> (B,) total set-bit count (feature-set size)."""
+    x = words
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return ((x * 0x01010101) >> 24 & 0x3F).sum(axis=1)
+
+
 def compress_band_rows(bits: jnp.ndarray, Pw: int) -> jnp.ndarray:
     """(B, W) expanded bitsets -> (B, 1+2*Pw) banded rows [page | band],
     exact for any bitset whose nonzero words span <= 2 consecutive pages
@@ -1185,6 +1194,113 @@ def expand_band_rows_np(rows: np.ndarray, Pw: int, W: int) -> np.ndarray:
     cols = page[:, None] * Pw + np.arange(2 * Pw)[None, :]
     np.put_along_axis(out, cols, rows[:, 1:], axis=1)
     return out[:, :W]
+
+
+def pack_outputs_idlist(
+    out: dict, cap: int, Pw: int
+) -> jnp.ndarray:
+    """Wide-W emission wire for emit-cap engines: per read
+    [w0 = score | r1_fwd<<16, w1 = r2_fwd<<14 | pass_<<28, id0..id{cap-1}]
+    — the class's feature ids directly (-1 padded; all -1 for non-pass
+    rows), flattened to (C*(2+cap),) int32.
+
+    Replaces the band-row + per-chunk-dictionary codec when the device
+    emission cap is active: every surviving class has <= cap features by
+    construction, so cap+2 words/read (48 B at cap=10) beats the
+    dictionary's fixed H*(1+2Pw) words/chunk (~200 B/read at W=625,
+    measured 51 of 53 MB/span — scripts/span_profile.py round 5) AND
+    removes the spill-overflow full-format path entirely. Host emission
+    resolves feature names straight from the ids
+    (pipeline.resolve_features_ids): no bitset decode at all.
+
+    Extraction: every surviving class has <= cap set bits (the emission
+    cap ran first), so its id list is exactly the top-cap of
+    "band-bit position where set, else -1" — one fused lax.top_k over the
+    expanded band, no scatters (a 64-step scatter loop measured 2.5 s/span
+    on v5e; top_k is fused sort-free selection)."""
+    bits = out["bits"]
+    C, W = bits.shape
+    band = out.get("_band")
+    if band is None:
+        band = compress_band_rows(bits, Pw)
+    page = band[:, 0]
+    is_pass = out["pass_"].astype(jnp.int32) == 1
+    base = page * (Pw * 32)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    nb = 2 * Pw
+    pos = (
+        jnp.arange(nb, dtype=jnp.int32)[None, :, None] * 32
+        + shifts[None, None, :]
+    )  # (1, nb, 32) band-bit positions
+    b = (band[:, 1:, None] >> shifts[None, None, :]) & 1  # (C, nb, 32)
+    vals = jnp.where(b == 1, pos, jnp.int32(-1)).reshape(C, nb * 32)
+    top, _ = jax.lax.top_k(vals, cap)  # (C, cap), descending positions
+    ids = jnp.where(
+        (top >= 0) & is_pass[:, None], base[:, None] + top, jnp.int32(-1)
+    )
+    score = out["score"].astype(jnp.int32)
+    f1 = out["r1_fwd"].astype(jnp.int32)
+    f2 = out["r2_fwd"].astype(jnp.int32)
+    pass_ = out["pass_"].astype(jnp.int32)
+    w0 = score | (f1 << 16)
+    w1 = (f2 << 14) | (pass_ << 28)
+    return jnp.concatenate(
+        [jnp.stack([w0, w1], axis=1), ids], axis=1
+    ).reshape(-1)
+
+
+def unpack_outputs_idlist(
+    flat: np.ndarray, C: int, cap: int, valid: int
+) -> dict:
+    """Host inverse of pack_outputs_idlist over S stacked chunks."""
+    row_w = 2 + cap
+    if flat.size % (C * row_w) != 0:
+        raise ValueError(
+            f"payload size {flat.size} not a multiple of idlist chunk "
+            f"length {C * row_w} (C={C}, cap={cap})"
+        )
+    rows = flat.reshape(-1, row_w)
+    w0 = rows[:, 0]
+    w1 = rows[:, 1]
+    return {
+        "ids": rows[:, 2:][:valid],
+        "score": (w0 & 0xFFFF)[:valid],
+        "r1_fwd": ((w0 >> 16) & 0xFFFF)[:valid],
+        "r1_rev": np.zeros(valid, np.int32),
+        "r2_fwd": ((w1 >> 14) & 0x3FFF)[:valid],
+        "r2_rev": np.zeros(valid, np.int32),
+        "pass_": ((w1 >> 28) & 1)[:valid],
+    }
+
+
+def ids_to_bits_np(ids: np.ndarray, W: int) -> np.ndarray:
+    """(n, cap) feature-id rows (-1 padded) -> dense (n, W) int32 bitsets
+    (the rare densify path: short-read patching on an idlist span)."""
+    n = ids.shape[0]
+    bits = np.zeros((n, W * 32), dtype=np.uint8)
+    rows, _ = np.nonzero(ids >= 0)
+    vals = ids[ids >= 0]
+    bits[rows, vals] = 1
+    packed = np.packbits(bits.reshape(n, W, 32), axis=2, bitorder="little")
+    return packed.view("<u4").reshape(n, W).astype(np.int32)
+
+
+def compress_band_rows_np(bits: np.ndarray, Pw: int) -> np.ndarray:
+    """Host mirror of compress_band_rows for dense (N, W) rows — used to
+    keep the rare full-format overflow fallback in the same band-row form
+    the no-expand collect path hands to emission. Exact under the same
+    2-consecutive-page condition (always true for gband results)."""
+    n, W = bits.shape
+    n_pages = -(-W // Pw)
+    bp = np.zeros((n, (n_pages + 1) * Pw), dtype=np.int32)
+    bp[:, :W] = bits
+    page_has = bp[:, : n_pages * Pw].reshape(n, n_pages, Pw).any(axis=2)
+    page = np.where(
+        page_has.any(axis=1), page_has.argmax(axis=1), 0
+    ).astype(np.int32)
+    idx = page[:, None] * Pw + np.arange(2 * Pw)[None, :]
+    band = np.take_along_axis(bp, idx, axis=1)
+    return np.concatenate([page[:, None], band], axis=1)
 
 
 def unpack_outputs_compact(
@@ -2430,6 +2546,7 @@ class AlignEngine:
         compact_out: Optional[bool] = None,
         compact_slots: Optional[int] = None,
         compact_spill: Optional[int] = None,
+        emit_cap: Optional[int] = None,
     ):
         self.index = index
         self.config = config
@@ -2623,6 +2740,8 @@ class AlignEngine:
         self._scan_fn_packed_dense = None
         self._scan_fn_packed_full = None
         self._scan_fn_packed_dense_full = None
+        self.emit_cap = 0  # set by the scanned path below when applicable
+        self._idlist_wire = None
         if self.scan_chunks > 1:
             S, C = self.scan_chunks, self.chunk_size
             self.sidecar_cap = max(256, (S * C) // 16)
@@ -2655,6 +2774,53 @@ class AlignEngine:
                 use_compact = True
             self.compact_out = use_compact
 
+            # device-side emission cap (the wide-path wire saver): when
+            # group_on is off, host emission DROPS any read whose
+            # ambiguity class exceeds max_hits_to_report (or the stricter
+            # discard_multi* bounds; pipeline.resolve_features_compact),
+            # so shipping those rows' bitsets is pure waste — worse, at
+            # wide W every backbone read's ~kilofeature class is a
+            # distinct dictionary payload, overflowing the compact spill
+            # and forcing 628-word full-format reruns (the round-4 e2e
+            # 20k run measured ~3k reads/s because of exactly this).
+            # Clearing pass_ on device for over-cap classes is
+            # semantics-identical (those rows never reach the TSV) and
+            # keeps the dictionary to the small classes that survive.
+            # group_on collapses features->groups BEFORE the size filters,
+            # so the cap only applies when group_on is empty.
+            if emit_cap is None:
+                emit_cap = 0
+                if not str(getattr(config, "group_on", "") or ""):
+                    cap = int(getattr(config, "max_hits_to_report", 0) or 0)
+                    if getattr(config, "discard_multiple_matches", False):
+                        cap = min(cap, 1) if cap else 1
+                    dmh = int(getattr(config, "discard_multi_hits", 0) or 0)
+                    if dmh > 0:
+                        cap = min(cap, dmh) if cap else dmh
+                    emit_cap = max(cap, 0)
+            else:
+                emit_cap = int(emit_cap)  # explicit override (0 disables)
+            self.emit_cap = emit_cap
+
+            def apply_emit_cap(out, counted_rows):
+                if not emit_cap:
+                    return out
+                k = _popcount32_rows(counted_rows)
+                ok = k <= emit_cap
+                return {
+                    **out,
+                    "pass_": out["pass_"] * ok.astype(out["pass_"].dtype),
+                }
+
+            # idlist wire: with the emission cap active, every surviving
+            # class has <= cap features, so per-read id lists (2+cap
+            # words) beat the band+dictionary codec's fixed H*(1+2Pw)
+            # words/chunk AND remove the overflow path (pack_outputs_idlist
+            # docstring). Selected statically per engine.
+            self._idlist_wire = None
+            if self._banded_wire is not None and emit_cap > 0:
+                self._idlist_wire = (emit_cap, self._banded_wire[0])
+
             def emit(out):
                 W = out["bits"].shape[1]
                 if self._banded_wire is not None:
@@ -2664,6 +2830,13 @@ class AlignEngine:
                             f"traced bits width {W} != static {W_full}"
                         )
                     rows = compress_band_rows(out["bits"], Pw_b)
+                    # band rows carry every nonzero word, so counting the
+                    # (1+2Pw)-word band equals counting the W-word bitset
+                    out = apply_emit_cap(out, rows[:, 1:])
+                    if self._idlist_wire is not None:
+                        return pack_outputs_idlist(
+                            {**out, "_band": rows}, emit_cap, Pw_b
+                        )
                     return pack_outputs_compact(
                         {**out, "bits": rows}, cH, cSP
                     )
@@ -2672,6 +2845,7 @@ class AlignEngine:
                         raise AssertionError(
                             f"traced bits width {W} != static {self._compact_W}"
                         )
+                    out = apply_emit_cap(out, out["bits"])
                     return pack_outputs_compact(out, cH, cSP)
                 return pack_outputs(out)
 
@@ -2823,7 +2997,11 @@ class AlignEngine:
                     fn = self._scan_fn_packed_dense
                     fn_full = getattr(self, "_scan_fn_packed_dense_full", None)
                 res = fn(self.tables, *args)
-                if compact and fn_full is not None:
+                if getattr(self, "_idlist_wire", None) is not None:
+                    # dispatch-time format tag (never inferred from size);
+                    # idlist has no overflow, so no full-format fallback
+                    pending.append((res, end - start, "idlist"))
+                elif compact and fn_full is not None:
                     # keep args + full-format fn for spill-overflow rerun
                     pending.append((res, end - start, fn_full, tuple(args)))
                 else:
@@ -2902,18 +3080,32 @@ class AlignEngine:
         S = w.shape[0]
         return False, (w, l, dense.reshape(S, span // S, Lf))
 
-    def collect_async(self, pending):
+    def collect_async(self, pending, expand_band: bool = True):
         """Transfer dispatched packed outputs to host numpy and unpack.
 
         The bits width is derived from the packed row size (a feature-split
         mesh pads the bitset width to a multiple of its feature axis, so
-        index.bitset_words is a lower bound, not the runtime width)."""
+        index.bitset_words is a lower bound, not the runtime width).
+
+        expand_band=False (the pipeline's emission path) keeps banded-wire
+        spans in their narrow (n, 1+2*Pw) band-row form: out["bits"] is
+        absent and out["band_rows"]/out["band_meta"]=(Pw, W) carry the
+        class sets instead, for resolve_features_band — expanding 262k
+        reads to 625 dense words per span just to re-unique them cost more
+        than the device exec (scripts/span_profile.py, round 5)."""
         rows = self.chunk_size * max(self.scan_chunks, 1)
         C, H, SP = self.chunk_size, self.compact_slots, self.compact_spill
         outs = []
         for entry in pending:
             flat, valid = entry[0], entry[1]
             arr = np.asarray(flat)
+            if len(entry) == 3 and entry[2] == "idlist":
+                outs.append(
+                    unpack_outputs_idlist(
+                        arr, C, self._idlist_wire[0], valid
+                    )
+                )
+                continue
             # entries carry (fn_full, args) exactly when the span was
             # dispatched compact-format (align_packed_async) — the format
             # is static per engine, never inferred from payload size
@@ -2924,21 +3116,53 @@ class AlignEngine:
                     )
                     bw = getattr(self, "_banded_wire", None)
                     if bw is not None:
-                        out["bits"] = expand_band_rows_np(
-                            out["bits"], bw[0], bw[1]
-                        )
+                        if expand_band:
+                            out["bits"] = expand_band_rows_np(
+                                out["bits"], bw[0], bw[1]
+                            )
+                        else:
+                            out["band_rows"] = out.pop("bits")
+                            out["band_meta"] = (bw[0], bw[1])
                     outs.append(out)
                     continue
-                except CompactOverflow:
+                except CompactOverflow as e:
                     # pathological collision load: rerun this span in the
-                    # full format (exactness over wire bytes)
+                    # full format (exactness over wire bytes). Loud: a
+                    # full-format span is W+3 words/read on the wire
+                    # (~100x the compact rate at wide W), so a run paying
+                    # this repeatedly is a performance bug, not a detail
+                    # (the round-4 20k e2e silently did, at ~3k reads/s).
+                    self.overflow_spans = getattr(self, "overflow_spans", 0) + 1
+                    import sys as _sys
+
+                    print(
+                        f"nimble_tpu: compact wire overflow #"
+                        f"{self.overflow_spans} ({e}); rerunning span in "
+                        "full format (slow wire)",
+                        file=_sys.stderr,
+                    )
                     fn_full, args = entry[2], entry[3]
                     arr = np.asarray(fn_full(self.tables, *args))
             W = arr.size // rows - PACKED_EXTRA
-            outs.append(unpack_outputs(arr, W, valid))
+            out = unpack_outputs(arr, W, valid)
+            bw = getattr(self, "_banded_wire", None)
+            if bw is not None and not expand_band:
+                # keep the rare overflow span in band-row form so the
+                # merged output is format-uniform for resolve_features_band
+                out["band_rows"] = compress_band_rows_np(
+                    out.pop("bits"), bw[0]
+                )
+                out["band_meta"] = (bw[0], bw[1])
+            outs.append(out)
         if not outs:
             return None
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        meta = outs[0].pop("band_meta", None)
+        for o in outs[1:]:
+            o.pop("band_meta", None)
+        merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        if meta is not None:
+            merged["band_meta"] = meta
+        return merged
 
     def align_batch(
         self,

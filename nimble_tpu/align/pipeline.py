@@ -74,13 +74,141 @@ def _unique_rows(bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     mult = np.random.default_rng(0xC0FFEE).integers(
         1, 1 << 62, size=W, dtype=np.int64
     ) | 1
+    # blockwise in-place hashing: the one-shot (n, W) int64 temporary is
+    # 10x slower at wide W (1.3 GB at 262k x 625 — measured 6.7s vs 0.6s)
+    h = np.empty(n, dtype=np.int64)
     with np.errstate(over="ignore"):
-        h = (bits.astype(np.int64) * mult[None, :]).sum(axis=1)
+        for s in range(0, n, 8192):
+            blk = bits[s : s + 8192].astype(np.int64)
+            blk *= mult[None, :]
+            h[s : s + 8192] = blk.sum(axis=1)
     _, first, inverse = np.unique(h, return_index=True, return_inverse=True)
     uniq = bits[first]
     if not np.array_equal(uniq[inverse], bits):  # hash collision
         return np.unique(bits, axis=0, return_inverse=True)
     return uniq, inverse
+
+
+def resolve_features_band(
+    index: KmerIndex, band_rows: np.ndarray, Pw: int, emit: EmitConfig
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """resolve_features_compact over the banded wire representation
+    WITHOUT expanding to dense W-word bitsets.
+
+    The banded codec ships each read's class as [page | 2*Pw band words]
+    (engine.compress_band_rows, exact by construction), so uniquing and
+    set-bit extraction run on (n, 1+2Pw) rows instead of (n, W): at 20k
+    features (W=625) the dense path's unique+decode+nonzero cost 17-22 s
+    per 262k-read span — 87% of e2e wall (scripts/span_profile.py, round
+    5); this path does the same work in well under a second. Feature id =
+    page*Pw*32 + bit position within the band (little-endian word order,
+    identical to decode_bitsets)."""
+    uniq, inverse = _unique_rows(band_rows)
+    u = uniq.shape[0]
+    # set-bit positions straight off the narrow band rows
+    u8 = np.ascontiguousarray(uniq[:, 1:], dtype="<i4").view(np.uint8)
+    expanded = np.unpackbits(u8.reshape(u, -1), axis=1, bitorder="little")
+    rows, bitpos = np.nonzero(expanded)
+    cols = (uniq[rows, 0].astype(np.int64) * (Pw * 32) + bitpos).astype(
+        np.int32
+    )
+    tail = cols >= index.n_features  # last-word padding bits, if any
+    if tail.any():
+        rows, cols = rows[~tail], cols[~tail]
+    if emit.group_on:
+        cols = index.feature_to_group[cols]
+        names = index.group_names
+    else:
+        names = index.feature_names
+    boundaries = np.searchsorted(rows, np.arange(u + 1))
+
+    from nimble_tpu.io import native
+
+    if native.available():
+        lexrank, names_bytes, name_offs = _lex_tables(index, emit.group_on, names)
+        u_keep, pool, pool_offs = native.resolve_classes(
+            boundaries,
+            cols,
+            lexrank,
+            names_bytes,
+            name_offs,
+            emit.discard_multiple_matches,
+            emit.discard_multi_hits,
+            emit.max_hits_to_report,
+        )
+        return (pool, pool_offs), u_keep, inverse
+
+    u_features: List[str] = [""] * u
+    u_keep = np.zeros(u, dtype=bool)
+    for i in range(u):
+        s, e = boundaries[i], boundaries[i + 1]
+        if s == e:
+            continue
+        ids = np.unique(cols[s:e])
+        if emit.discard_multiple_matches and ids.size > 1:
+            continue
+        if emit.discard_multi_hits > 0 and ids.size > emit.discard_multi_hits:
+            continue
+        if ids.size > emit.max_hits_to_report:
+            continue
+        u_features[i] = ",".join(sorted(names[g] for g in ids))
+        u_keep[i] = True
+
+    return u_features, u_keep, inverse
+
+
+def resolve_features_ids(
+    index: KmerIndex, ids: np.ndarray, emit: EmitConfig
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """resolve_features_compact over the idlist wire: (n, cap) per-read
+    feature-id rows, -1 padded (engine.pack_outputs_idlist). No bitset
+    decode at all — unique the id rows, then feed (boundaries, cols)
+    straight to the class resolver."""
+    uniq, inverse = _unique_rows(ids)
+    u = uniq.shape[0]
+    present = uniq >= 0
+    rows, _ = np.nonzero(present)
+    cols = uniq[present].astype(np.int32)
+    if emit.group_on:
+        cols = index.feature_to_group[cols]
+        names = index.group_names
+    else:
+        names = index.feature_names
+    boundaries = np.searchsorted(rows, np.arange(u + 1))
+
+    from nimble_tpu.io import native
+
+    if native.available():
+        lexrank, names_bytes, name_offs = _lex_tables(index, emit.group_on, names)
+        u_keep, pool, pool_offs = native.resolve_classes(
+            boundaries,
+            cols,
+            lexrank,
+            names_bytes,
+            name_offs,
+            emit.discard_multiple_matches,
+            emit.discard_multi_hits,
+            emit.max_hits_to_report,
+        )
+        return (pool, pool_offs), u_keep, inverse
+
+    u_features: List[str] = [""] * u
+    u_keep = np.zeros(u, dtype=bool)
+    for i in range(u):
+        s, e = boundaries[i], boundaries[i + 1]
+        if s == e:
+            continue
+        ids_i = np.unique(cols[s:e])
+        if emit.discard_multiple_matches and ids_i.size > 1:
+            continue
+        if emit.discard_multi_hits > 0 and ids_i.size > emit.discard_multi_hits:
+            continue
+        if ids_i.size > emit.max_hits_to_report:
+            continue
+        u_features[i] = ",".join(sorted(names[g] for g in ids_i))
+        u_keep[i] = True
+
+    return u_features, u_keep, inverse
 
 
 def resolve_features_compact(
@@ -261,9 +389,18 @@ class LibraryRunner:
         if out is None:
             return 0
         pass_ = out["pass_"]
-        u_features, u_keep, inverse = resolve_features_compact(
-            self.index, out["bits"], self.emit
-        )
+        if out.get("ids") is not None:
+            u_features, u_keep, inverse = resolve_features_ids(
+                self.index, out["ids"], self.emit
+            )
+        elif out.get("band_rows") is not None:
+            u_features, u_keep, inverse = resolve_features_band(
+                self.index, out["band_rows"], out["band_meta"][0], self.emit
+            )
+        else:
+            u_features, u_keep, inverse = resolve_features_compact(
+                self.index, out["bits"], self.emit
+            )
         keep = u_keep[inverse] & pass_
         n_kept = int(np.count_nonzero(keep))
         if n_kept == 0:
@@ -1066,6 +1203,21 @@ def align_files(
                     >= r.index.k + group_g - 1
                 ):
                     return  # fast path: no short reads in this span
+                if out.get("band_rows") is not None:
+                    # rare: short reads in a banded-wire span — densify so
+                    # patch_short_reads can write mono rows in place
+                    from nimble_tpu.align.engine import expand_band_rows_np
+
+                    Pw, W = out.pop("band_meta")
+                    out["bits"] = expand_band_rows_np(
+                        out.pop("band_rows"), Pw, W
+                    )
+                elif out.get("ids") is not None:
+                    from nimble_tpu.align.engine import ids_to_bits_np
+
+                    out["bits"] = ids_to_bits_np(
+                        out.pop("ids"), r.index.bitset_words
+                    )
                 from nimble_tpu.align.host_probe import (
                     HostMonoProber,
                     patch_short_reads,
@@ -1097,7 +1249,10 @@ def align_files(
                         r.emit_out(out, sb)
                 else:
                     for r, h in zip(runners, handles):
-                        out = r.engine.collect_async(h)
+                        # keep banded-wire spans in narrow band-row form:
+                        # emission resolves classes on (n, 1+2Pw) rows
+                        # (resolve_features_band) instead of dense W
+                        out = r.engine.collect_async(h, expand_band=False)
                         patch_short(r, out, sb)
                         r.emit_out(out, sb)
                 total += n

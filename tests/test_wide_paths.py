@@ -391,13 +391,100 @@ def test_banded_wire_matches_codes_path(family_lib):
                           scan_chunks=2, compact_out=False)
     ref = eng_ref.collect_async(eng_ref.align_batch_async(codes, lens))
 
+    # emit_cap=0: raw-output differential needs the device emission cap
+    # off (it deliberately clears pass_/bits for over-max_hits classes;
+    # emission-level equivalence is covered by test_emit_cap_* below)
     eng = AlignEngine(index, cfg, max_len=100, chunk_size=64,
-                      scan_chunks=2, compact_out=True)
+                      scan_chunks=2, compact_out=True, emit_cap=0)
     assert eng._banded_wire is not None, "banded wire inactive"
     pb = pack_batch({"r1_codes": codes, "r1_lens": lens}, 100)
     got = eng.collect_async(eng.align_packed_async(pb))
     for k in ("bits", "score", "r1_fwd", "r2_fwd", "pass_"):
         assert np.array_equal(ref[k], got[k]), k
+
+
+def test_emit_cap_drops_only_over_cap_classes(family_lib):
+    """Device emission cap (the wide-path wire saver): with the cap active
+    (auto from Config.max_hits_to_report), rows whose ambiguity class
+    exceeds the cap come back pass_=0/bits=0, rows at or under it are
+    bit-identical to the uncapped run — so host emission output is
+    unchanged while the compact dictionary only holds small classes."""
+    from nimble_tpu.align.pipeline import resolve_features_compact, EmitConfig
+    from nimble_tpu.io.packing import pack_batch
+
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(family_lib)
+    index = build_index(data, cfg, k=K)
+    rng = np.random.default_rng(78)
+    reads = sample_reads(rng, family_lib, 96, read_len=100, error_rate=0.02)
+    codes, lens = seqmod.encode_batch(reads, 100)
+    pb = pack_batch({"r1_codes": codes, "r1_lens": lens}, 100)
+
+    eng_off = AlignEngine(index, cfg, max_len=100, chunk_size=64,
+                          scan_chunks=2, compact_out=True, emit_cap=0)
+    ref = eng_off.collect_async(eng_off.align_packed_async(pb))
+
+    eng = AlignEngine(index, cfg, max_len=100, chunk_size=64,
+                      scan_chunks=2, compact_out=True)
+    assert eng.emit_cap == cfg.max_hits_to_report
+    assert eng._idlist_wire is not None  # cap active + banded -> idlist
+    got = eng.collect_async(eng.align_packed_async(pb))
+
+    from nimble_tpu.align.engine import ids_to_bits_np
+
+    got_bits = ids_to_bits_np(got["ids"], index.bitset_words)
+    sizes = (np.asarray(ref["bits"]).view(np.uint32)[:, :, None]
+             >> np.arange(32, dtype=np.uint32)[None, None, :] & 1).sum((1, 2))
+    over = (sizes > eng.emit_cap) & (ref["pass_"] == 1)
+    assert over.any(), "workload must exercise the cap"
+    under = ~over
+    assert np.array_equal(got["pass_"][under], ref["pass_"][under])
+    assert np.array_equal(got_bits[under], ref["bits"][under])
+    assert not got["pass_"][over].any()
+    assert not got_bits[over].any()
+    got["bits"] = got_bits
+    got.pop("ids")
+
+    # emission-level equality: the final kept rows match exactly
+    emit = EmitConfig(group_on=False, discard_multiple_matches=False,
+                      discard_multi_hits=0,
+                      max_hits_to_report=cfg.max_hits_to_report)
+    for out in (ref, got):
+        out["keep_rows"] = None
+    def kept(out):
+        u_features, u_keep, inverse = resolve_features_compact(
+            index, out["bits"], emit
+        )
+        keep = u_keep[inverse] & (out["pass_"] == 1)
+        feats = u_features
+        if isinstance(feats, tuple):  # native pool form
+            pool, offs = feats
+            feats = [
+                pool[offs[i]:offs[i + 1]].decode()
+                for i in range(len(offs) - 1)
+            ]
+        return [(int(i), feats[inverse[i]], int(out["score"][i]))
+                for i in np.nonzero(keep)[0]]
+    assert kept(got) == kept(ref)
+
+
+def test_emit_cap_defaults():
+    """Cap derivation: group_on disables it; discard_multi* tighten it."""
+    rng = np.random.default_rng(5)
+    data = make_data([rand_seq(rng, 200) for _ in range(3)])
+    idx = build_index(data, Config(), k=K)
+    e = AlignEngine(idx, Config(), max_len=64, chunk_size=32, scan_chunks=2,
+                    compact_out=True)
+    assert e.emit_cap == 10
+    e = AlignEngine(idx, Config(discard_multiple_matches=True), max_len=64,
+                    chunk_size=32, scan_chunks=2, compact_out=True)
+    assert e.emit_cap == 1
+    e = AlignEngine(idx, Config(discard_multi_hits=3), max_len=64,
+                    chunk_size=32, scan_chunks=2, compact_out=True)
+    assert e.emit_cap == 3
+    e = AlignEngine(idx, Config(group_on="lineage"), max_len=64,
+                    chunk_size=32, scan_chunks=2, compact_out=True)
+    assert e.emit_cap == 0
 
 
 def test_compress_expand_band_rows_roundtrip():
@@ -422,3 +509,47 @@ def test_compress_expand_band_rows_roundtrip():
     rows = np.asarray(compress_band_rows(jnp.asarray(bits), Pw))
     back = expand_band_rows_np(rows, Pw, W)
     assert np.array_equal(bits, back)
+
+
+def test_resolve_features_band_matches_dense(family_lib):
+    """The no-expand emission path (collect_async(expand_band=False) +
+    resolve_features_band) produces exactly the dense path's per-read
+    (keep, feature-string) outcome — including the full-format overflow
+    fallback span, which collect compresses back to band rows."""
+    from nimble_tpu.align.pipeline import (
+        EmitConfig, resolve_features_band, resolve_features_compact,
+    )
+    from nimble_tpu.io.packing import pack_batch
+
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(family_lib)
+    index = build_index(data, cfg, k=K)
+    rng = np.random.default_rng(79)
+    reads = sample_reads(rng, family_lib, 96, read_len=100, error_rate=0.02)
+    codes, lens = seqmod.encode_batch(reads, 100)
+    pb = pack_batch({"r1_codes": codes, "r1_lens": lens}, 100)
+
+    for slots, spill in ((16384, 8192), (2, 4)):  # second forces overflow
+        eng = AlignEngine(index, cfg, max_len=100, chunk_size=64,
+                          scan_chunks=2, compact_out=True, emit_cap=0,
+                          compact_slots=slots, compact_spill=spill)
+        assert eng._banded_wire is not None
+        dense = eng.collect_async(eng.align_packed_async(pb))
+        band = eng.collect_async(eng.align_packed_async(pb), expand_band=False)
+        assert band.get("band_rows") is not None
+        Pw, W = band["band_meta"]
+
+        emit = EmitConfig(group_on=False, discard_multiple_matches=False,
+                          discard_multi_hits=0, max_hits_to_report=1 << 30)
+        fd, kd, invd = resolve_features_compact(index, dense["bits"], emit)
+        fb, kb, invb = resolve_features_band(index, band["band_rows"], Pw, emit)
+
+        def per_read(feats, keep, inv):
+            if isinstance(feats, tuple):
+                pool, offs = feats
+                feats = [pool[offs[i]:offs[i + 1]].decode()
+                         for i in range(len(offs) - 1)]
+            return [(bool(keep[inv[i]]), feats[inv[i]])
+                    for i in range(len(inv))]
+
+        assert per_read(fd, kd, invd) == per_read(fb, kb, invb)
