@@ -24,6 +24,9 @@ import numpy as np
 from nimble_tpu import seq as seqmod
 from nimble_tpu.io.fastq import iter_fastq_chunks
 
+# phred+33 ASCII -> raw quality translate table (saturating at 0)
+_Q33 = bytes(max(c - 33, 0) for c in range(256))
+
 
 def _pack_codes(codes: np.ndarray) -> np.ndarray:
     """(n, L) 2-bit base codes (no Ns) -> (n,) uint64 packed, first base in
@@ -216,10 +219,10 @@ def _process_pair_chunk(c1, c2, corrector, cb_length: int, umi_length: int):
         if cb is None:
             continue
         umi = c1.seqs[i][cb_length:barcode_length].decode()
-        r1_seq = c1.seqs[i][barcode_length:].decode()
-        r1_qual = bytes(b - 33 for b in c1.quals[i][barcode_length:])
-        r2_seq = c2.seqs[i].decode()
-        r2_qual = bytes(b - 33 for b in c2.quals[i])
+        r1_seq = c1.seqs[i][barcode_length:]
+        r1_qual = c1.quals[i][barcode_length:].translate(_Q33)
+        r2_seq = c2.seqs[i]
+        r2_qual = c2.quals[i].translate(_Q33)
         tags = {"CB": cb, "UB": umi}
         blobs.append(
             _encode_record(BamRecord(names[row], 77, r1_seq, r1_qual, tags=dict(tags)))

@@ -34,6 +34,12 @@ _CHAR_TO_NIB = {ord("="): 0, ord("A"): 1, ord("C"): 2, ord("M"): 3, ord("G"): 4,
                 ord("R"): 5, ord("S"): 6, ord("V"): 7, ord("T"): 8, ord("W"): 9,
                 ord("Y"): 10, ord("H"): 11, ord("K"): 12, ord("D"): 13,
                 ord("B"): 14, ord("N"): 15}
+# 256-entry translate table (upper+lower case; unknown -> N=15)
+_NIB_TRANS = bytes(
+    _CHAR_TO_NIB.get(c, _CHAR_TO_NIB.get(ord(chr(c).upper()), 15))
+    if c < 128 else 15
+    for c in range(256)
+)
 # nibble -> nimble 2-bit code (A=0 C=1 G=2 T=3, else N)
 _NIB_TO_CODE = np.full(16, seqmod.N_CODE, dtype=np.int8)
 _NIB_TO_CODE[1] = 0
@@ -130,15 +136,15 @@ def _encode_tags(tags: Dict[str, object]) -> bytes:
 
 def _encode_record(rec: BamRecord) -> bytes:
     name = rec.name.encode() + b"\x00"
-    seq_bytes = rec.seq.encode().upper()
+    seq = rec.seq
+    seq_bytes = seq if isinstance(seq, bytes) else seq.encode().upper()
     l_seq = len(seq_bytes)
-    nibs = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(seq_bytes):
-        nib = _CHAR_TO_NIB.get(ch, 15)
-        if i % 2 == 0:
-            nibs[i // 2] = nib << 4
-        else:
-            nibs[i // 2] |= nib
+    # nibble packing via one translate + vectorized pair combine (the
+    # per-base dict loop was the fastq-to-bam hot spot: 11.8 s/200k pairs)
+    nib = np.frombuffer(seq_bytes.translate(_NIB_TRANS), dtype=np.uint8)
+    if l_seq & 1:
+        nib = np.append(nib, np.uint8(0))
+    nibs = ((nib[0::2] << 4) | nib[1::2]).tobytes()
     qual = rec.qual if rec.qual is not None else b"\xff" * l_seq
     # bin computed per spec reg2bin(-1, 0) = 4680 for unmapped
     body = struct.pack(
