@@ -107,7 +107,12 @@ INLINE_BITS_MAX_WORDS = 16  # up to 512 features
 # 160-byte rows beat both 8-slot 320-byte rows and the two-choice layout
 # (row-gather cost is flat only up to ~128 int32). Gated on memory.
 MONO_SLOTS = 4
-MONO_MAX_BYTES = 2 << 30
+# 6 GB of v5e's 16 GB HBM: the first candidate table for an 11.4M-entry
+# 50k-feature library is 2.1 GB, which the old 2 GB cap rejected outright,
+# silently knocking the library off the gband path (16x slower groupcls
+# fallback: 0.091 vs ~1.5 M reads/s). The auto chunk sizer accounts for
+# resident tables, so a bigger table shrinks transients, not correctness.
+MONO_MAX_BYTES = int(os.environ.get("NIMBLE_TPU_MONO_MAX_BYTES", 6 << 30))
 MONO_MAX_STASH = 64
 MONO_TIGHT_STASH = 8  # grow the table rather than exceed this
 
@@ -744,6 +749,58 @@ def _build_class_bands(index: KmerIndex):
     return result
 
 
+# classes allowed to exceed the page span before robust banding gives up
+BAND_OUTLIER_CAP = 64
+
+
+def _build_class_bands_robust(index: KmerIndex):
+    """_build_class_bands tolerant of a FEW wide-span outlier classes.
+
+    Real libraries always contain a handful of classes whose features
+    span multiple gene families (chance k-mer collisions between family
+    backbones — the 50k-feature probe found 3 of 578,899 classes with
+    span up to 668 words, which made the strict max-span Pw fail
+    3*Pw <= W and silently knocked the whole library off the banded
+    group path). Here Pw comes from the fitting majority; classes whose
+    bitset does not fit an aligned 2-page window are marked not-ok (their
+    band rows are zeroed) and the caller must handle entries touching
+    them exactly (full-width) — _build_groupband_tables does.
+
+    Returns (Pw, bandrow, ok_mask) or None when more than
+    BAND_OUTLIER_CAP classes misfit (banding genuinely inapplicable)."""
+    cached = getattr(index, "_band_cache_robust", "unset")
+    if cached != "unset":
+        return cached
+    result = None
+    strict = _build_class_bands(index)
+    if strict is not None:
+        Pw, bandrow = strict
+        result = (Pw, bandrow, np.ones(bandrow.shape[0], dtype=bool))
+    else:
+        W = index.bitset_words
+        cb = index.class_bits.view(np.int32)
+        C = cb.shape[0]
+        if C and W > INLINE_BITS_MAX_WORDS:
+            nz = cb != 0
+            any_nz = nz.any(axis=1)
+            first = np.where(any_nz, nz.argmax(axis=1), 0)
+            last = np.where(any_nz, W - 1 - nz[:, ::-1].argmax(axis=1), 0)
+            span = last - first + 1
+            Pw = max(8, -(-int(np.percentile(span, 99.99)) // 8) * 8)
+            ok = (last // Pw - first // Pw) <= 1
+            if 3 * Pw <= W and int((~ok).sum()) <= BAND_OUTLIER_CAP:
+                pages = np.where(ok, first // Pw, 0).astype(np.int32)
+                Wpad = (-(-W // Pw) + 1) * Pw
+                cbp = np.zeros((C, Wpad), dtype=np.int32)
+                cbp[ok, :W] = cb[ok]  # outlier rows stay zero
+                idx = pages[:, None] * Pw + np.arange(2 * Pw)[None, :]
+                band = np.take_along_axis(cbp, idx, axis=1)
+                bandrow = np.concatenate([pages[:, None], band], axis=1)
+                result = (Pw, bandrow, ok)
+    index._band_cache_robust = result
+    return result
+
+
 def _np_band_combine(po, bo, has, pi, bi, pres, Pw):
     """Numpy page-banded AND-combine (build-time pre-AND): fold the banded
     class (pi, bi, pres) into the accumulator (po, bo, has)."""
@@ -777,10 +834,10 @@ def _build_groupband_tables(index: KmerIndex):
     orientations — no per-window class gathers at all. Returns None when
     banding or placement is infeasible (caller falls back to the class-id
     group table)."""
-    bands = _build_class_bands(index)
+    bands = _build_class_bands_robust(index)
     if bands is None:
         return None
-    Pw, bandrow = bands
+    Pw, bandrow, band_ok = bands
     Wb = 2 * Pw
     g = index.pair_g
     hi = index.pair_hi
@@ -873,6 +930,53 @@ def _build_groupband_tables(index: KmerIndex):
 
     p_s, b_s, vs_mask = pre_and(vals[:, :g])
     p_d, b_d, vd_mask = pre_and(vals[:, g:])
+
+    if not band_ok.all():
+        # exact full-width pre-AND for the few entries touching outlier
+        # (misfit) classes; the AND of an outlier with its neighboring
+        # windows' narrow classes is almost always narrow again — if any
+        # result still misfits its 2-page window, banding is off.
+        def fix_touched(cols, po, bo):
+            pres_all = cols >= 0
+            bad = pres_all & ~band_ok[np.clip(cols, 0, None)]
+            rows_idx = np.nonzero(bad.any(axis=1))[0]
+            if rows_idx.size == 0:
+                return po, bo, True
+            cb = index.class_bits.view(np.int32)
+            W = index.bitset_words
+            acc = np.zeros((rows_idx.size, W), dtype=np.int32)
+            has = np.zeros(rows_idx.size, dtype=bool)
+            for i in range(cols.shape[1]):
+                c = cols[rows_idx, i]
+                pres = c >= 0
+                row = cb[np.clip(c, 0, None)]
+                both = has & pres
+                acc = np.where(
+                    both[:, None], acc & row,
+                    np.where((pres & ~has)[:, None], row, acc),
+                )
+                has |= pres
+            nzm = acc != 0
+            anym = nzm.any(axis=1)
+            f = np.where(anym, nzm.argmax(axis=1), 0)
+            l = np.where(anym, W - 1 - nzm[:, ::-1].argmax(axis=1), 0)
+            if np.any((l // Pw - f // Pw) > 1):
+                return po, bo, False
+            pages = (f // Pw).astype(np.int32)
+            Wpad = (-(-W // Pw) + 1) * Pw
+            accp = np.zeros((rows_idx.size, Wpad), dtype=np.int32)
+            accp[:, :W] = acc
+            gidx = pages[:, None] * Pw + np.arange(2 * Pw)[None, :]
+            po = po.copy()
+            bo = bo.copy()
+            po[rows_idx] = pages
+            bo[rows_idx] = np.take_along_axis(accp, gidx, axis=1)
+            return po, bo, True
+
+        p_s, b_s, ok_s = fix_touched(vals[:, :g], p_s, b_s)
+        p_d, b_d, ok_d = fix_touched(vals[:, g:], p_d, b_d)
+        if not (ok_s and ok_d):
+            return None
     rev = lambda m: sum(((m >> i) & 1) << (g - 1 - i) for i in range(g))
     mask_word = (
         vs_mask | (vd_mask << 8) | (rev(vs_mask) << 16) | (rev(vd_mask) << 24)
@@ -1197,12 +1301,17 @@ def expand_band_rows_np(rows: np.ndarray, Pw: int, W: int) -> np.ndarray:
 
 
 def pack_outputs_idlist(
-    out: dict, cap: int, Pw: int
+    out: dict, cap: int, Pw: int, packed16: bool = False
 ) -> jnp.ndarray:
     """Wide-W emission wire for emit-cap engines: per read
     [w0 = score | r1_fwd<<16, w1 = r2_fwd<<14 | pass_<<28, id0..id{cap-1}]
     — the class's feature ids directly (-1 padded; all -1 for non-pass
     rows), flattened to (C*(2+cap),) int32.
+
+    packed16 (engines with n_features <= 32767): ids ship as int16 pairs
+    packed two per word (absent = 0xFFFF sentinel), ceil(cap/2) words —
+    48 -> 28 B/read at cap=10, for the ~50 MB/s relay where the output
+    wire is a first-order e2e term.
 
     Replaces the band-row + per-chunk-dictionary codec when the device
     emission cap is active: every surviving class has <= cap features by
@@ -1244,26 +1353,41 @@ def pack_outputs_idlist(
     pass_ = out["pass_"].astype(jnp.int32)
     w0 = score | (f1 << 16)
     w1 = (f2 << 14) | (pass_ << 28)
+    if packed16:
+        idu = jnp.where(ids >= 0, ids, jnp.int32(0xFFFF))
+        if cap & 1:
+            idu = jnp.concatenate(
+                [idu, jnp.full((C, 1), jnp.int32(0xFFFF))], axis=1
+            )
+        ids = idu[:, 0::2] | (idu[:, 1::2] << 16)
     return jnp.concatenate(
         [jnp.stack([w0, w1], axis=1), ids], axis=1
     ).reshape(-1)
 
 
 def unpack_outputs_idlist(
-    flat: np.ndarray, C: int, cap: int, valid: int
+    flat: np.ndarray, C: int, cap: int, valid: int, packed16: bool = False
 ) -> dict:
     """Host inverse of pack_outputs_idlist over S stacked chunks."""
-    row_w = 2 + cap
+    row_w = 2 + (((cap + 1) // 2) if packed16 else cap)
     if flat.size % (C * row_w) != 0:
         raise ValueError(
             f"payload size {flat.size} not a multiple of idlist chunk "
-            f"length {C * row_w} (C={C}, cap={cap})"
+            f"length {C * row_w} (C={C}, cap={cap}, packed16={packed16})"
         )
     rows = flat.reshape(-1, row_w)
     w0 = rows[:, 0]
     w1 = rows[:, 1]
+    ids = rows[:, 2:][:valid]
+    if packed16:
+        n = ids.shape[0]
+        un = np.empty((n, 2 * ids.shape[1]), dtype=np.int32)
+        un[:, 0::2] = ids & 0xFFFF
+        un[:, 1::2] = (ids >> 16) & 0xFFFF
+        un[un == 0xFFFF] = -1
+        ids = un[:, :cap]
     return {
-        "ids": rows[:, 2:][:valid],
+        "ids": ids,
         "score": (w0 & 0xFFFF)[:valid],
         "r1_fwd": ((w0 >> 16) & 0xFFFF)[:valid],
         "r1_rev": np.zeros(valid, np.int32),
@@ -2819,7 +2943,13 @@ class AlignEngine:
             # docstring). Selected statically per engine.
             self._idlist_wire = None
             if self._banded_wire is not None and emit_cap > 0:
-                self._idlist_wire = (emit_cap, self._banded_wire[0])
+                # (cap, Pw, packed16): int16-pair id packing needs ids to
+                # fit 15 bits (0xFFFF is the absent sentinel)
+                self._idlist_wire = (
+                    emit_cap,
+                    self._banded_wire[0],
+                    index.n_features <= 32767,
+                )
 
             def emit(out):
                 W = out["bits"].shape[1]
@@ -2835,7 +2965,8 @@ class AlignEngine:
                     out = apply_emit_cap(out, rows[:, 1:])
                     if self._idlist_wire is not None:
                         return pack_outputs_idlist(
-                            {**out, "_band": rows}, emit_cap, Pw_b
+                            {**out, "_band": rows}, emit_cap, Pw_b,
+                            packed16=self._idlist_wire[2],
                         )
                     return pack_outputs_compact(
                         {**out, "bits": rows}, cH, cSP
@@ -3102,7 +3233,8 @@ class AlignEngine:
             if len(entry) == 3 and entry[2] == "idlist":
                 outs.append(
                     unpack_outputs_idlist(
-                        arr, C, self._idlist_wire[0], valid
+                        arr, C, self._idlist_wire[0], valid,
+                        packed16=self._idlist_wire[2],
                     )
                 )
                 continue

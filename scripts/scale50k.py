@@ -102,7 +102,7 @@ def main():
 
     # correctness: every clean backbone read either fails (error-free reads
     # can't fail here) or reports features exclusively from its own family
-    bits = np.asarray(r["bits"])[: n_reads]
+    bits = np.ascontiguousarray(np.asarray(r["bits"])[: n_reads])
     pass_ = np.asarray(jnp.reshape(r["pass_"], (-1,)))[: n_reads]
     from nimble_tpu.align.pipeline import decode_bitsets
 

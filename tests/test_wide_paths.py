@@ -553,3 +553,89 @@ def test_resolve_features_band_matches_dense(family_lib):
                     for i in range(len(inv))]
 
         assert per_read(fd, kd, invd) == per_read(fb, kb, invb)
+
+
+def test_robust_banding_with_cross_family_outlier_class():
+    """A handful of classes spanning multiple families (chance k-mer
+    collisions between backbones — 3 of 578,899 classes in the 50k probe)
+    must NOT knock the whole library off the banded group path: robust
+    banding picks Pw from the fitting majority and handles entries
+    touching outlier classes with an exact full-width pre-AND
+    (engine._build_class_bands_robust / _build_groupband_tables)."""
+    from nimble_tpu.align.engine import (
+        _build_class_bands, _build_class_bands_robust,
+    )
+
+    rng = np.random.default_rng(53)
+    # 24bp shared block (k <= 24 < k+g-1): creates cross-family outlier
+    # CLASSES, but every (k+g-1)-mer entry touching them still includes a
+    # family-specific window, so the exact full-width pre-AND narrows
+    shared = rand_seq(rng, 24)
+    seqs = []
+    for fam in range(8):
+        bb = rand_seq(rng, 400)
+        for a in range(300):
+            s = list(bb)
+            for pos in rng.integers(0, 400, size=5):
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            if (fam, a) in ((0, 7), (7, 5)):
+                s[180:204] = list(shared)
+            seqs.append("".join(s))
+
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(seqs)
+    index = build_index(data, cfg, k=K)
+    assert index.bitset_words > 32
+    # the outlier makes strict banding infeasible, robust banding works
+    assert _build_class_bands(index) is None
+    robust = _build_class_bands_robust(index)
+    assert robust is not None
+    Pw, bandrow, ok = robust
+    assert not ok.all() and ok.sum() >= ok.size - 64
+
+    eng_g = AlignEngine(index, cfg, max_len=120, group_probe=True)
+    assert "gband_bucket" in eng_g.tables, "robust banding did not engage"
+    eng_m = AlignEngine(index, cfg, max_len=120, group_probe=False)
+
+    reads = sample_reads(rng, seqs, 48, read_len=100)
+    # reads straight through the shared block: their windows hit the
+    # outlier class
+    reads += [seqs[7][150:250], seqmod.revcomp(seqs[2100 + 5][150:250])]
+    codes, lens = seqmod.encode_batch(reads, 120)
+    out_g = eng_g.align_batch(codes, lens)
+    out_m = eng_m.align_batch(codes, lens)
+    for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
+        np.testing.assert_array_equal(out_g[key], out_m[key], err_msg=key)
+
+
+def test_all_outlier_entries_fall_back_to_groupcls():
+    """A shared block >= k+g-1 bp produces group entries whose EVERY
+    window is the cross-family class — unbandable by construction. The
+    engine must fall back to the class-id group path and stay correct."""
+    from nimble_tpu.index.builder import _group_g
+
+    rng = np.random.default_rng(59)
+    shared = rand_seq(rng, 21 + _group_g() - 1 + 10)
+    seqs = []
+    for fam in range(8):
+        bb = rand_seq(rng, 400)
+        for a in range(300):
+            s = list(bb)
+            for pos in rng.integers(0, 400, size=5):
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            if (fam, a) in ((0, 7), (7, 5)):
+                s[180 : 180 + len(shared)] = list(shared)
+            seqs.append("".join(s))
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    index = build_index(make_data(seqs), cfg, k=K)
+    eng_g = AlignEngine(index, cfg, max_len=120, group_probe=True)
+    assert "gband_bucket" not in eng_g.tables
+    assert "groupcls_bucket" in eng_g.tables  # graceful fallback
+    eng_m = AlignEngine(index, cfg, max_len=120, group_probe=False)
+    reads = sample_reads(rng, seqs, 24, read_len=100)
+    reads += [seqs[7][150:250]]
+    codes, lens = seqmod.encode_batch(reads, 120)
+    out_g = eng_g.align_batch(codes, lens)
+    out_m = eng_m.align_batch(codes, lens)
+    for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
+        np.testing.assert_array_equal(out_g[key], out_m[key], err_msg=key)
