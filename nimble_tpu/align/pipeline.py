@@ -647,6 +647,35 @@ def _enable_compilation_cache():
         pass
 
 
+def _prefetch_iter(gen, depth: int = 3):
+    """Drain `gen` on a daemon producer thread through a bounded queue.
+    Exceptions re-raise at the consumer; the bound is the backpressure."""
+    import queue as _q
+    import threading as _t
+
+    q = _q.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # surfaced at the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    _t.Thread(target=run, daemon=True, name="bam-prefetch").start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def _make_batches(
     inputs: Sequence[str],
     is_bam: bool,
@@ -662,9 +691,17 @@ def _make_batches(
         from nimble_tpu.io import native
 
         if native.available():
+            # producer-thread prefetch: nt_bam_read_batch runs inside a
+            # ctypes call (GIL released), so BGZF inflate + record parse
+            # overlap the main loop's dispatch/emission Python work —
+            # the paired e2e was reader-bound without this
             return (
-                native.iter_native_bam_batches(
-                    inputs[0], batch_records=batch_records, max_len=max_len
+                _prefetch_iter(
+                    native.iter_native_bam_batches(
+                        inputs[0], batch_records=batch_records,
+                        max_len=max_len,
+                    ),
+                    depth=max(2, inflight_batches + 1),
                 ),
                 None,
             )
