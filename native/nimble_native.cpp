@@ -556,6 +556,110 @@ int64_t nt_bam_read_batch(void *handle, int64_t max_records, int64_t max_len,
   return nrec;
 }
 
+// Encode n read-pairs as unmapped BAM record blobs (R1 flag 77, R2 flag
+// 141, CB/UB string tags) — byte-identical to the python encoder
+// (nimble_tpu/io/bam.py _encode_record with BamRecord defaults). All
+// string fields arrive as concatenated pools with (n+1) int64 offsets;
+// quals are phred+33 ASCII, shifted (saturating at 0) here, matching the
+// python path's translate table. The per-record struct/nibble/tag work
+// was the fastq-to-bam hot spot in python (GIL-bound, so -c threads
+// could not scale it). Returns bytes written, or -1 on out_cap overflow.
+int64_t nt_encode_bam_pairs(
+    int64_t n, const char *names, const int64_t *name_offs, const char *s1,
+    const int64_t *s1_offs, const char *q1, const int64_t *q1_offs,
+    const char *s2, const int64_t *s2_offs, const char *q2,
+    const int64_t *q2_offs, const char *cbs, const int64_t *cb_offs,
+    const char *umis, const int64_t *umi_offs, uint8_t *out,
+    int64_t out_cap) {
+  static uint8_t nib[256];
+  static bool nib_init = false;
+  if (!nib_init) {
+    for (int i = 0; i < 256; i++) nib[i] = 15;
+    const char *order = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 16; i++) {
+      nib[(uint8_t)order[i]] = (uint8_t)i;
+      nib[(uint8_t)tolower(order[i])] = (uint8_t)i;
+    }
+    nib_init = true;
+  }
+  uint8_t *p = out;
+  uint8_t *end = out + out_cap;
+  auto emit = [&](uint16_t flag, const char *name, int64_t name_len,
+                  const char *seq, int64_t l_seq, const char *qual,
+                  int64_t l_qual, const char *cb, int64_t cb_len,
+                  const char *umi, int64_t umi_len) -> bool {
+    int64_t nlen = name_len + 1;  // + NUL
+    int64_t nnib = (l_seq + 1) / 2;
+    int64_t tag_len = 3 + cb_len + 1 + 3 + umi_len + 1;
+    int64_t payload = 32 + nlen + nnib + l_seq + tag_len;
+    if (p + 4 + payload > end || nlen > 255) return false;
+    auto w32 = [&](int32_t v) {
+      memcpy(p, &v, 4);
+      p += 4;
+    };
+    auto w16 = [&](uint16_t v) {
+      memcpy(p, &v, 2);
+      p += 2;
+    };
+    w32((int32_t)payload);
+    w32(-1);  // refID
+    w32(-1);  // pos
+    *p++ = (uint8_t)nlen;
+    *p++ = 0;     // mapq
+    w16(4680);    // bin (reg2bin(-1, 0))
+    w16(0);       // n_cigar_op
+    w16(flag);
+    w32((int32_t)l_seq);
+    w32(-1);  // next_refID
+    w32(-1);  // next_pos
+    w32(0);   // tlen
+    memcpy(p, name, (size_t)name_len);
+    p += name_len;
+    *p++ = 0;
+    for (int64_t i = 0; i + 1 < l_seq; i += 2)
+      *p++ = (uint8_t)((nib[(uint8_t)seq[i]] << 4) | nib[(uint8_t)seq[i + 1]]);
+    if (l_seq & 1) *p++ = (uint8_t)(nib[(uint8_t)seq[l_seq - 1]] << 4);
+    for (int64_t i = 0; i < l_seq; i++) {
+      if (i < l_qual) {
+        int q = (int)(uint8_t)qual[i] - 33;
+        *p++ = (uint8_t)(q < 0 ? 0 : q);
+      } else {
+        *p++ = 0xFF;  // python pads absent quals with 0xff
+      }
+    }
+    p[0] = 'C';
+    p[1] = 'B';
+    p[2] = 'Z';
+    p += 3;
+    memcpy(p, cb, (size_t)cb_len);
+    p += cb_len;
+    *p++ = 0;
+    p[0] = 'U';
+    p[1] = 'B';
+    p[2] = 'Z';
+    p += 3;
+    memcpy(p, umi, (size_t)umi_len);
+    p += umi_len;
+    *p++ = 0;
+    return true;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    const char *nm = names + name_offs[i];
+    int64_t nl = name_offs[i + 1] - name_offs[i];
+    const char *cb = cbs + cb_offs[i];
+    int64_t cl = cb_offs[i + 1] - cb_offs[i];
+    const char *um = umis + umi_offs[i];
+    int64_t ul = umi_offs[i + 1] - umi_offs[i];
+    if (!emit(77, nm, nl, s1 + s1_offs[i], s1_offs[i + 1] - s1_offs[i],
+              q1 + q1_offs[i], q1_offs[i + 1] - q1_offs[i], cb, cl, um, ul))
+      return -1;
+    if (!emit(141, nm, nl, s2 + s2_offs[i], s2_offs[i + 1] - s2_offs[i],
+              q2 + q2_offs[i], q2_offs[i + 1] - q2_offs[i], cb, cl, um, ul))
+      return -1;
+  }
+  return p - out;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

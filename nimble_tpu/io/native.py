@@ -290,14 +290,24 @@ class NativeFastqFile:
 
 
 def _extract_strings(raw: np.ndarray, offs: np.ndarray, field: int, n: int):
-    """Decode NUL-terminated strings at offs[i*3+field] from the raw buffer."""
-    buf = raw.tobytes()
-    out = []
-    for i in range(n):
-        start = offs[i * 3 + field]
-        end = buf.index(b"\x00", start)
-        out.append(buf[start:end])
-    return out
+    """Extract NUL-terminated byte strings at offs[i*3+field]: one NUL
+    scan + vectorized end lookup for the whole batch (a per-record
+    bytes.index loop was ~1 s per 200k records)."""
+    if n == 0:
+        return []
+    o = offs[: 3 * n]
+    used = min(raw.size, int(o.max()) + 65536)
+    nul = np.flatnonzero(raw[:used] == 0)
+    idx = np.searchsorted(nul, o[field::3][:n])
+    if idx.size and (nul.size == 0 or int(idx.max()) >= nul.size):
+        # a tail string longer than the scan margin: rescan everything
+        used = raw.size
+        nul = np.flatnonzero(raw == 0)
+        idx = np.searchsorted(nul, o[field::3][:n])
+    buf = raw[:used].tobytes()
+    starts = o[field::3][:n]
+    ends = nul[idx]
+    return [buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
 
 
 class NativeFastqReader:
@@ -350,6 +360,7 @@ class NativeFastqReader:
                     batch["r2_codes"] = codes2
                     batch["r2_lens"] = lens2
                     if self.with_strings:
+                        batch["r2_names"] = _extract_strings(raw2, offs2, 0, n)
                         batch["r2_seqs"] = _extract_strings(raw2, offs2, 1, n)
                         batch["r2_quals"] = _extract_strings(raw2, offs2, 2, n)
                 yield batch
@@ -357,6 +368,63 @@ class NativeFastqReader:
             f1.close()
             if f2 is not None:
                 f2.close()
+
+
+def _pool(items) -> tuple:
+    """List of bytes -> (concatenated pool, (n+1) int64 offsets)."""
+    offs = np.zeros(len(items) + 1, dtype=np.int64)
+    if items:
+        np.cumsum([len(b) for b in items], out=offs[1:])
+    return b"".join(items), offs
+
+
+def encode_bam_pairs(names, s1, q1, s2, q2, cbs, umis) -> Optional[bytes]:
+    """Encode read-pairs as BAM record blobs in C++ (nt_encode_bam_pairs):
+    R1 flag 77 + R2 flag 141, CB/UB tags, byte-identical to
+    io.bam._encode_record. Args are equal-length lists of bytes (quals as
+    phred+33 ASCII — shifted natively). Returns None when the native
+    library is unavailable (caller falls back to the python encoder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_nt_encode_pairs_bound"):
+        lib.nt_encode_bam_pairs.restype = ctypes.c_int64
+        lib.nt_encode_bam_pairs.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._nt_encode_pairs_bound = True
+    n = len(names)
+    pools = [_pool(x) for x in (names, s1, q1, s2, q2, cbs, umis)]
+    # exact output size: per record 4 + 32 + (name+1) + ceil(l/2) + l + tags
+    ln = pools[0][1][1:] - pools[0][1][:-1]
+    l1 = pools[1][1][1:] - pools[1][1][:-1]
+    l2 = pools[3][1][1:] - pools[3][1][:-1]
+    lc = pools[5][1][1:] - pools[5][1][:-1]
+    lu = pools[6][1][1:] - pools[6][1][:-1]
+    tags = 8 + lc + lu
+    per_pair = (
+        2 * (36 + 1) + 2 * ln + (l1 + 1) // 2 + l1 + (l2 + 1) // 2 + l2
+        + 2 * tags
+    )
+    cap = int(per_pair.sum()) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    args = [ctypes.c_int64(n)]
+    for pool, offs in pools:
+        args += [pool, offs.ctypes.data_as(ctypes.c_void_p)]
+    wrote = lib.nt_encode_bam_pairs(
+        *args, out.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if wrote < 0:
+        raise RuntimeError("nt_encode_bam_pairs capacity overflow")
+    return out[:wrote].tobytes()
 
 
 def _bind_bam(lib):
