@@ -1,7 +1,8 @@
 """nimble_tpu CLI — drop-in replacement for the reference's subcommand surface
 (reference: nimble/__main__.py:373-468): download (compat no-op), generate,
-align, report, plot, fastq-to-bam; plus nimble_tpu extensions: index
-(prebuild + persist the device index) and bench.
+align, report, plot, fastq-to-bam; plus the nimble_tpu extension: index
+(prebuild + persist the device index, optionally AOT-precompiling the
+align dispatch programs via --warm).
 """
 from __future__ import annotations
 
