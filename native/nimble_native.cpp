@@ -353,8 +353,16 @@ const int8_t kNibToCode[16] = {
     3, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE, N_CODE};
 
 struct BamReaderC {
-  gzFile f = nullptr;
-  // carry buffer for partial records across read calls
+  gzFile f = nullptr;  // fallback: non-BGZF gzip stream
+  // BGZF mode: raw file + compressed carry buffer; blocks are independent
+  // gzip members, so a batch of them inflates in an OpenMP parallel for
+  // (the sequential gzread path measured as the paired-pipeline floor)
+  FILE *fp = nullptr;
+  bool bgzf = false;
+  uint8_t *cbuf = nullptr;
+  size_t ccap = 0, clen = 0, cpos = 0;
+  bool file_eof = false;
+  // carry buffer for partial records across read calls (decompressed)
   uint8_t *buf = nullptr;
   size_t cap = 0;
   size_t len = 0;
@@ -362,9 +370,136 @@ struct BamReaderC {
   bool eof = false;
   bool header_done = false;
 
+  bool fill_compressed() {
+    if (file_eof) return false;
+    if (cpos > 0) {
+      memmove(cbuf, cbuf + cpos, clen - cpos);
+      clen -= cpos;
+      cpos = 0;
+    }
+    if (ccap - clen < (1u << 20)) {
+      ccap = ccap * 2 + (1u << 22);
+      cbuf = (uint8_t *)realloc(cbuf, ccap);
+    }
+    size_t n = fread(cbuf + clen, 1, ccap - clen, fp);
+    if (n == 0) {
+      file_eof = true;
+      return false;
+    }
+    clen += n;
+    return true;
+  }
+
+  // parse one BGZF member header at absolute offset p in cbuf; returns
+  // the total block size (0 = need more bytes, -1 = malformed)
+  int64_t block_size_at(size_t p) {
+    while (clen - p < 18) {
+      size_t rel = p - cpos;
+      if (!fill_compressed()) return (clen - (cpos + rel) >= 18) ? 0 : -2;
+      p = cpos + rel;
+    }
+    const uint8_t *h = cbuf + p;
+    if (h[0] != 0x1F || h[1] != 0x8B || h[2] != 0x08 || !(h[3] & 0x04))
+      return -1;
+    uint16_t xlen;
+    memcpy(&xlen, h + 10, 2);
+    size_t rel = p - cpos;
+    while (clen - (cpos + rel) < (size_t)12 + xlen) {
+      if (!fill_compressed()) return -2;
+    }
+    h = cbuf + cpos + rel;
+    size_t q = 12;
+    while (q + 4 <= (size_t)12 + xlen) {
+      uint8_t si1 = h[q], si2 = h[q + 1];
+      uint16_t slen;
+      memcpy(&slen, h + q + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, h + q + 4, 2);
+        return (int64_t)bs + 1;
+      }
+      q += 4 + slen;
+    }
+    return -1;
+  }
+
+  // inflate up to kBlocks BGZF members into the decompressed carry
+  bool bgzf_fill() {
+    if (pos > 0) {
+      memmove(buf, buf + pos, len - pos);
+      len -= pos;
+      pos = 0;
+    }
+    struct Blk {
+      size_t rel;     // offset from cpos in cbuf
+      size_t bsize;
+      size_t isize;
+      size_t out_off;
+    };
+    const int kBlocks = 64;
+    Blk blks[kBlocks];
+    int nb = 0;
+    size_t scan_rel = 0;
+    size_t out_total = 0;
+    while (nb < kBlocks) {
+      int64_t bs = block_size_at(cpos + scan_rel);
+      if (bs <= 0) break;  // EOF / partial trailing header / malformed
+      bool truncated = false;
+      while (clen - (cpos + scan_rel) < (size_t)bs) {
+        if (!fill_compressed()) {
+          truncated = true;
+          break;
+        }
+      }
+      if (truncated) break;  // inflate the complete blocks gathered so far
+      uint32_t isize;
+      memcpy(&isize, cbuf + cpos + scan_rel + bs - 4, 4);
+      blks[nb] = {scan_rel, (size_t)bs, (size_t)isize, out_total};
+      out_total += isize;
+      scan_rel += (size_t)bs;
+      nb++;
+    }
+    if (nb == 0) return false;
+    while (cap - len < out_total) {
+      cap = cap * 2 + (1u << 22);
+      buf = (uint8_t *)realloc(buf, cap);
+    }
+    bool ok = true;
+#pragma omp parallel for schedule(dynamic, 1) reduction(&& : ok)
+    for (int i = 0; i < nb; i++) {
+      const uint8_t *h = cbuf + cpos + blks[i].rel;
+      uint16_t xlen;
+      memcpy(&xlen, h + 10, 2);
+      size_t data_off = 12 + (size_t)xlen;
+      size_t payload = blks[i].bsize - data_off - 8;
+      if (blks[i].isize == 0) continue;  // EOF marker block
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        ok = false;
+        continue;
+      }
+      zs.next_in = (Bytef *)(h + data_off);
+      zs.avail_in = (uInt)payload;
+      zs.next_out = (Bytef *)(buf + len + blks[i].out_off);
+      zs.avail_out = (uInt)blks[i].isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      ok = ok && (rc == Z_STREAM_END) && zs.total_out == blks[i].isize;
+    }
+    if (!ok) return false;
+    len += out_total;
+    cpos += scan_rel;
+    return out_total > 0;
+  }
+
   bool ensure(size_t need) {
     while (len - pos < need) {
       if (eof) return false;
+      if (bgzf) {
+        if (!bgzf_fill()) eof = true;
+        continue;
+      }
       if (pos > 0) {
         memmove(buf, buf + pos, len - pos);
         len -= pos;
@@ -413,13 +548,41 @@ struct BamReaderC {
 extern "C" {
 
 void *nt_bam_open(const char *path) {
-  gzFile f = gzopen(path, "rb");
-  if (f == nullptr) return nullptr;
-  gzbuffer(f, 1 << 22);
   BamReaderC *r = new BamReaderC();
-  r->f = f;
   r->cap = 1 << 22;
   r->buf = (uint8_t *)malloc(r->cap);
+  // BGZF detection: gzip magic + FEXTRA with a 'BC' subfield
+  FILE *fp = fopen(path, "rb");
+  if (fp != nullptr) {
+    uint8_t head[18];
+    size_t got = fread(head, 1, sizeof(head), fp);
+    bool is_bgzf = got == sizeof(head) && head[0] == 0x1F &&
+                   head[1] == 0x8B && head[2] == 0x08 && (head[3] & 0x04) &&
+                   head[12] == 'B' && head[13] == 'C';
+    if (is_bgzf) {
+      r->fp = fp;
+      r->bgzf = true;
+      r->ccap = 1 << 22;
+      r->cbuf = (uint8_t *)malloc(r->ccap);
+      memcpy(r->cbuf, head, got);
+      r->clen = got;
+      if (r->skip_header()) return r;
+      fclose(fp);
+      free(r->cbuf);
+      free(r->buf);
+      delete r;
+      return nullptr;
+    }
+    fclose(fp);
+  }
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) {
+    free(r->buf);
+    delete r;
+    return nullptr;
+  }
+  gzbuffer(f, 1 << 22);
+  r->f = f;
   if (!r->skip_header()) {
     gzclose(f);
     free(r->buf);
@@ -432,7 +595,9 @@ void *nt_bam_open(const char *path) {
 void nt_bam_close(void *handle) {
   BamReaderC *r = (BamReaderC *)handle;
   if (r == nullptr) return;
-  gzclose(r->f);
+  if (r->f != nullptr) gzclose(r->f);
+  if (r->fp != nullptr) fclose(r->fp);
+  free(r->cbuf);
   free(r->buf);
   delete r;
 }
