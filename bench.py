@@ -46,7 +46,10 @@ def jnp_reshape_flat(v):
     return jnp.reshape(v, (-1,))
 
 
-def build_workload():
+def build_workload(paired: bool = False):
+    """Returns (index, config, codes, lens) — plus r2 codes as a fifth
+    element when paired=True (the 4-tuple default keeps the measurement
+    scripts in scripts/ that unpack four values working)."""
     from nimble_tpu import seq as seqmod
     from nimble_tpu.config import Config, Data
     from nimble_tpu.index.builder import build_index
@@ -85,6 +88,8 @@ def build_workload():
     codes[rc] = seqmod.revcomp_codes(codes[rc])
     lens = np.full(N_READS, READ_LEN, dtype=np.int32)
 
+    if not paired:
+        return index, config, codes, lens
     # R2 mates for the paired operating point: reverse complement of a
     # window 120 bp downstream of R1 on the same source allele (the 10x
     # R1/R2 shape out of the reference's barcode processor, reference:
@@ -113,7 +118,7 @@ def main():
     from nimble_tpu.align.engine import AlignEngine
     from nimble_tpu.io.packing import pack_batch
 
-    index, config, codes, lens, codes2 = build_workload()
+    index, config, codes, lens, codes2 = build_workload(paired=True)
     engine = AlignEngine(index, config, chunk_size=CHUNK, max_len=READ_LEN)
     chunk = engine.chunk_size
     S = engine.scan_chunks

@@ -757,7 +757,8 @@ int64_t nt_encode_bam_pairs(
     int64_t nnib = (l_seq + 1) / 2;
     int64_t tag_len = 3 + cb_len + 1 + 3 + umi_len + 1;
     int64_t payload = 32 + nlen + nnib + l_seq + tag_len;
-    if (p + 4 + payload > end || nlen > 255) return false;
+    if (nlen > 255) return false;  // caller maps to -2 (bad input)
+    if (p + 4 + payload > end) return false;
     auto w32 = [&](int32_t v) {
       memcpy(p, &v, 4);
       p += 4;
@@ -811,6 +812,7 @@ int64_t nt_encode_bam_pairs(
   for (int64_t i = 0; i < n; i++) {
     const char *nm = names + name_offs[i];
     int64_t nl = name_offs[i + 1] - name_offs[i];
+    if (nl + 1 > 255) return -2;  // name too long for BAM's u8 l_read_name
     const char *cb = cbs + cb_offs[i];
     int64_t cl = cb_offs[i + 1] - cb_offs[i];
     const char *um = umis + umi_offs[i];

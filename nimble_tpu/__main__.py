@@ -126,6 +126,12 @@ def main(argv=None) -> int:
         help="With --warm: chunk size to precompile for (0 = the auto "
              "size `align --chunk-size 0` would pick).",
     )
+    index_parser.add_argument(
+        "--strand_filter", type=str, default="unstranded",
+        help="With --warm: strand filter the programs are compiled for "
+             "(must match the later `align --strand_filter` — the filter "
+             "is baked into the traced program and its cache key).",
+    )
 
     args = parser.parse_args(argv)
 
@@ -229,6 +235,7 @@ def main(argv=None) -> int:
             engine = AlignEngine(
                 idx,
                 config,
+                strand_filter=args.strand_filter,
                 chunk_size=args.chunk_size or None,
                 max_len=min(_round_len(args.warm), 256),
                 paired=args.paired,
@@ -237,6 +244,7 @@ def main(argv=None) -> int:
             print(
                 f"Warmed {n} dispatch program(s) (read_len {args.warm}, "
                 f"chunk {engine.chunk_size} x {engine.scan_chunks}, "
+                f"{args.strand_filter}, "
                 f"{'paired' if args.paired else 'single-end'}) in "
                 f"{_time.time() - t0:.1f}s"
             )

@@ -115,46 +115,7 @@ def resolve_features_band(
     tail = cols >= index.n_features  # last-word padding bits, if any
     if tail.any():
         rows, cols = rows[~tail], cols[~tail]
-    if emit.group_on:
-        cols = index.feature_to_group[cols]
-        names = index.group_names
-    else:
-        names = index.feature_names
-    boundaries = np.searchsorted(rows, np.arange(u + 1))
-
-    from nimble_tpu.io import native
-
-    if native.available():
-        lexrank, names_bytes, name_offs = _lex_tables(index, emit.group_on, names)
-        u_keep, pool, pool_offs = native.resolve_classes(
-            boundaries,
-            cols,
-            lexrank,
-            names_bytes,
-            name_offs,
-            emit.discard_multiple_matches,
-            emit.discard_multi_hits,
-            emit.max_hits_to_report,
-        )
-        return (pool, pool_offs), u_keep, inverse
-
-    u_features: List[str] = [""] * u
-    u_keep = np.zeros(u, dtype=bool)
-    for i in range(u):
-        s, e = boundaries[i], boundaries[i + 1]
-        if s == e:
-            continue
-        ids = np.unique(cols[s:e])
-        if emit.discard_multiple_matches and ids.size > 1:
-            continue
-        if emit.discard_multi_hits > 0 and ids.size > emit.discard_multi_hits:
-            continue
-        if ids.size > emit.max_hits_to_report:
-            continue
-        u_features[i] = ",".join(sorted(names[g] for g in ids))
-        u_keep[i] = True
-
-    return u_features, u_keep, inverse
+    return _resolve_classes_from_cols(index, u, rows, cols, emit, inverse)
 
 
 def resolve_features_ids(
@@ -162,53 +123,14 @@ def resolve_features_ids(
 ) -> Tuple[List[str], np.ndarray, np.ndarray]:
     """resolve_features_compact over the idlist wire: (n, cap) per-read
     feature-id rows, -1 padded (engine.pack_outputs_idlist). No bitset
-    decode at all — unique the id rows, then feed (boundaries, cols)
-    straight to the class resolver."""
+    decode at all — unique the id rows, then feed (rows, cols) straight
+    to the shared class resolver."""
     uniq, inverse = _unique_rows(ids)
     u = uniq.shape[0]
-    present = uniq >= 0
+    present = (uniq >= 0) & (uniq < index.n_features)  # guard stray ids
     rows, _ = np.nonzero(present)
     cols = uniq[present].astype(np.int32)
-    if emit.group_on:
-        cols = index.feature_to_group[cols]
-        names = index.group_names
-    else:
-        names = index.feature_names
-    boundaries = np.searchsorted(rows, np.arange(u + 1))
-
-    from nimble_tpu.io import native
-
-    if native.available():
-        lexrank, names_bytes, name_offs = _lex_tables(index, emit.group_on, names)
-        u_keep, pool, pool_offs = native.resolve_classes(
-            boundaries,
-            cols,
-            lexrank,
-            names_bytes,
-            name_offs,
-            emit.discard_multiple_matches,
-            emit.discard_multi_hits,
-            emit.max_hits_to_report,
-        )
-        return (pool, pool_offs), u_keep, inverse
-
-    u_features: List[str] = [""] * u
-    u_keep = np.zeros(u, dtype=bool)
-    for i in range(u):
-        s, e = boundaries[i], boundaries[i + 1]
-        if s == e:
-            continue
-        ids_i = np.unique(cols[s:e])
-        if emit.discard_multiple_matches and ids_i.size > 1:
-            continue
-        if emit.discard_multi_hits > 0 and ids_i.size > emit.discard_multi_hits:
-            continue
-        if ids_i.size > emit.max_hits_to_report:
-            continue
-        u_features[i] = ",".join(sorted(names[g] for g in ids_i))
-        u_keep[i] = True
-
-    return u_features, u_keep, inverse
+    return _resolve_classes_from_cols(index, u, rows, cols, emit, inverse)
 
 
 def resolve_features_compact(
@@ -224,13 +146,23 @@ def resolve_features_compact(
     uniq, inverse = _unique_rows(bits)
     member = decode_bitsets(uniq, index.n_features)
     rows, cols = np.nonzero(member)
+    u = member.shape[0]
+    return _resolve_classes_from_cols(index, u, rows, cols, emit, inverse)
+
+
+def _resolve_classes_from_cols(
+    index: KmerIndex, u: int, rows: np.ndarray, cols: np.ndarray,
+    emit: EmitConfig, inverse: np.ndarray,
+):
+    """Shared tail of the three feature resolvers: group_on collapse,
+    set-size filters, name pooling — native (nt_resolve_classes) or the
+    python fallback. rows must be sorted (row-major nonzero order); cols
+    are feature ids already bounded by n_features."""
     if emit.group_on:
         cols = index.feature_to_group[cols]
         names = index.group_names
     else:
         names = index.feature_names
-
-    u = member.shape[0]
     boundaries = np.searchsorted(rows, np.arange(u + 1))
 
     from nimble_tpu.io import native
@@ -649,31 +581,49 @@ def _enable_compilation_cache():
 
 def _prefetch_iter(gen, depth: int = 3):
     """Drain `gen` on a daemon producer thread through a bounded queue.
-    Exceptions re-raise at the consumer; the bound is the backpressure."""
+    Exceptions re-raise at the consumer; the bound is the backpressure.
+    An abandoned consumer (error mid-run, generator close) sets a stop
+    flag so the producer exits and `gen`'s finally (reader close) runs
+    instead of blocking forever on a full queue."""
     import queue as _q
     import threading as _t
 
     q = _q.Queue(maxsize=depth)
     sentinel = object()
+    stop = _t.Event()
     err: List[BaseException] = []
 
     def run():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _q.Full:
+                        continue
+                if stop.is_set():
+                    break
         except BaseException as e:  # surfaced at the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            gen.close() if hasattr(gen, "close") else None
+            try:
+                q.put_nowait(sentinel)
+            except _q.Full:
+                pass
 
     _t.Thread(target=run, daemon=True, name="bam-prefetch").start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def _make_batches(
@@ -690,7 +640,11 @@ def _make_batches(
     if is_bam:
         from nimble_tpu.io import native
 
-        if native.available():
+        # non-regular inputs (FIFOs, process substitution) go to the pure
+        # python reader: the native open probes the first bytes for the
+        # BGZF signature and its plain-gzip fallback reopens the path —
+        # both only sound on seekable regular files
+        if native.available() and os.path.isfile(inputs[0]):
             # producer-thread prefetch: nt_bam_read_batch runs inside a
             # ctypes call (GIL released), so BGZF inflate + record parse
             # overlap the main loop's dispatch/emission Python work —

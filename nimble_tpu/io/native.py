@@ -422,6 +422,11 @@ def encode_bam_pairs(names, s1, q1, s2, q2, cbs, umis) -> Optional[bytes]:
     wrote = lib.nt_encode_bam_pairs(
         *args, out.ctypes.data_as(ctypes.c_void_p), cap
     )
+    if wrote == -2:
+        raise ValueError(
+            "read name longer than 254 characters cannot be encoded in a "
+            "BAM record (l_read_name is a u8)"
+        )
     if wrote < 0:
         raise RuntimeError("nt_encode_bam_pairs capacity overflow")
     return out[:wrote].tobytes()
@@ -494,8 +499,12 @@ class NativeBamFile:
         # whole batch, then str slicing (a per-record bytes.index/.decode
         # loop measured 16.5 s/M pairs — the paired-e2e bottleneck)
         o = offs[: 4 * got]
-        used = min(raw.size, int(o.max()) + 4096)
+        used = min(raw.size, int(o.max()) + 65536)
         nul = np.flatnonzero(raw[:used] == 0)
+        if nul.size == 0 or int(nul[-1]) < int(o.max()):
+            # a tail string longer than the scan margin: rescan everything
+            used = raw.size
+            nul = np.flatnonzero(raw == 0)
         text = raw[:used].tobytes().decode("latin-1")
 
         def strs(field):

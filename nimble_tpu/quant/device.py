@@ -200,34 +200,40 @@ def device_umi_pipeline(
     # and is not counted there
     reached_intersection = kept_counts > 0
 
-    # tie-proximity guard (the module caveat made operational): at the
-    # fixpoint's final score distribution, count (group, feature) ratios
-    # within tie_eps of the threshold. Decisions that close to the boundary
-    # are float32 accumulation-order dependent and may differ from the
-    # float64 host oracle; the caller warns when the count is nonzero.
-    # Ratios are computed over the ORIGINAL per-row bitsets so features
-    # dropped at the boundary are counted too, not only survivors.
+    # tie-proximity guard (the module caveat made operational): count
+    # (group, feature) score ratios within tie_eps of the threshold at
+    # BOTH the initial state (the first fixpoint iteration's decisions —
+    # the dominant order-sensitivity source) and the final survivor
+    # state. Decisions that close to the boundary are float32
+    # accumulation-order dependent and may differ from the float64 host
+    # oracle; the caller warns when the count is nonzero. Ratios use the
+    # ORIGINAL per-row bitsets so boundary-dropped features count too.
     near_ties = jnp.int32(0)
     if threshold > 0 and tie_eps > 0:
-        active = bits & surviving[group_ids]
-        k = popcount32(active).sum(axis=1)
-        has = k > 0
-        spf = jnp.where(has, scores / jnp.maximum(k, 1), 0.0)
-        totals = jax.ops.segment_sum(
-            jnp.where(has, scores, 0.0), group_ids, num_segments=n_groups
-        )
-        safe_tot = jnp.maximum(totals, 1e-30)
 
-        def tie_step(cnt, bw):
-            contrib = expand_word(bw).astype(jnp.float32) * spf[:, None]
-            fscores = jax.ops.segment_sum(
-                contrib, group_ids, num_segments=n_groups
+        def count_near(surv):
+            active = bits & surv[group_ids]
+            k = popcount32(active).sum(axis=1)
+            has = k > 0
+            spf = jnp.where(has, scores / jnp.maximum(k, 1), 0.0)
+            totals = jax.ops.segment_sum(
+                jnp.where(has, scores, 0.0), group_ids, num_segments=n_groups
             )
-            ratio = fscores / safe_tot[:, None]
-            near = (fscores > 0) & (jnp.abs(ratio - threshold) <= tie_eps)
-            return cnt + near.sum(dtype=jnp.int32), None
+            safe_tot = jnp.maximum(totals, 1e-30)
 
-        near_ties, _ = jax.lax.scan(tie_step, jnp.int32(0), bits.T)
+            def tie_step(cnt, bw):
+                contrib = expand_word(bw).astype(jnp.float32) * spf[:, None]
+                fscores = jax.ops.segment_sum(
+                    contrib, group_ids, num_segments=n_groups
+                )
+                ratio = fscores / safe_tot[:, None]
+                near = (fscores > 0) & (jnp.abs(ratio - threshold) <= tie_eps)
+                return cnt + near.sum(dtype=jnp.int32), None
+
+            cnt, _ = jax.lax.scan(tie_step, jnp.int32(0), bits.T)
+            return cnt
+
+        near_ties = count_near(init_surviving) + count_near(surviving)
     return inter_bits, group_alive, reached_intersection, near_ties
 
 
