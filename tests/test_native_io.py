@@ -117,3 +117,67 @@ def test_native_bam_pairing_across_batches(tmp_path):
     assert names == [f"p{i}" for i in range(10)]
     for b in batches:
         assert (b["r2_lens"] > 0).all()
+
+
+def test_prefetch_iter_closes_inner_generator_on_abandonment():
+    """An abandoned consumer (error mid-run) must still run the inner
+    generator's finally (reader close) instead of leaving the producer
+    blocked on a full queue forever (round-5 review finding)."""
+    import time
+
+    from nimble_tpu.align.pipeline import _prefetch_iter
+
+    closed = []
+
+    def inner():
+        try:
+            for i in range(100):
+                yield i
+        finally:
+            closed.append(True)
+
+    g = _prefetch_iter(inner(), depth=2)
+    assert next(g) == 0
+    g.close()  # abandon
+    for _ in range(50):  # producer notices within its put timeout
+        if closed:
+            break
+        time.sleep(0.05)
+    assert closed, "inner generator finally never ran"
+
+
+def test_encode_bam_pairs_long_name_raises_value_error():
+    from nimble_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import pytest
+
+    with pytest.raises(ValueError, match="254"):
+        native.encode_bam_pairs(
+            [b"x" * 300], [b"ACGT"], [b"IIII"], [b"ACGT"], [b"IIII"],
+            [b"AAAA"], [b"CCCC"],
+        )
+
+
+def test_extract_strings_rescan_beyond_margin():
+    """A tail string longer than the 64 KiB NUL-scan margin triggers the
+    full-buffer rescan instead of an IndexError (round-5 review)."""
+    import numpy as np
+
+    from nimble_tpu.io.native import _extract_strings
+
+    long_s = b"G" * 100_000
+    parts = [b"name0", b"seq0", b"qual0", b"name1", long_s, b"qual1"]
+    offs = []
+    raw = bytearray()
+    for p in parts:
+        offs.append(len(raw))
+        raw += p + b"\x00"
+    raw += b"\xff" * 64  # trailing garbage without NULs is fine
+    raw_arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    offs_arr = np.asarray(offs, dtype=np.int64)
+    out = _extract_strings(raw_arr, offs_arr, 1, 2)
+    assert out == [b"seq0", long_s]
