@@ -1364,4 +1364,66 @@ int64_t nt_format_rows(int64_t n_rows, const int32_t *uniq_id,
   return p - out;
 }
 
+// Parallel BGZF compress: split data into 0xFF00-byte payload blocks
+// (the BGZF maximum the python BgzfWriter uses), deflate each at level 6
+// raw (-15) in an OpenMP parallel for, and concatenate the BGZF members
+// into out. Byte-identical to BgzfWriter._flush_block on the same
+// payloads (same zlib, same level/strategy) — this only moves the
+// fastq-to-bam writer's serial compress off the consumer thread.
+// Returns bytes written, or -1 on error / out_cap overflow.
+int64_t nt_bgzf_compress(const uint8_t *data, int64_t n, uint8_t *out,
+                         int64_t out_cap) {
+  const int64_t kPayload = 0xFF00;
+  if (n <= 0) return 0;
+  int64_t nb = (n + kPayload - 1) / kPayload;
+  std::vector<int64_t> csize(nb, -1);
+  std::vector<std::vector<uint8_t>> comp(nb);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < nb; i++) {
+    const uint8_t *src = data + i * kPayload;
+    int64_t plen = std::min(kPayload, n - i * kPayload);
+    uLong bound = compressBound((uLong)plen) + 64;
+    comp[i].resize(bound);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
+        Z_OK)
+      continue;
+    zs.next_in = (Bytef *)src;
+    zs.avail_in = (uInt)plen;
+    zs.next_out = comp[i].data();
+    zs.avail_out = (uInt)bound;
+    int rc = deflate(&zs, Z_FINISH);
+    int64_t out_len = (int64_t)zs.total_out;
+    deflateEnd(&zs);
+    if (rc == Z_STREAM_END) csize[i] = out_len;
+  }
+  int64_t w = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    if (csize[i] < 0) return -1;
+    int64_t plen = std::min(kPayload, n - i * kPayload);
+    int64_t bsize = csize[i] + 25 + 1;
+    if (bsize - 1 > 0xFFFF || w + bsize > out_cap) return -1;
+    uint8_t *h = out + w;
+    static const uint8_t kHead[12] = {0x1F, 0x8B, 0x08, 0x04, 0, 0,
+                                      0,    0,    0,    0xFF, 6, 0};
+    memcpy(h, kHead, 12);
+    h[12] = 'B';
+    h[13] = 'C';
+    h[14] = 2;
+    h[15] = 0;
+    uint16_t bs16 = (uint16_t)(bsize - 1);
+    memcpy(h + 16, &bs16, 2);
+    memcpy(h + 18, comp[i].data(), csize[i]);
+    uint32_t crc =
+        (uint32_t)crc32(crc32(0L, Z_NULL, 0), data + i * kPayload,
+                        (uInt)plen);
+    uint32_t is32 = (uint32_t)plen;
+    memcpy(h + 18 + csize[i], &crc, 4);
+    memcpy(h + 18 + csize[i] + 4, &is32, 4);
+    w += bsize;
+  }
+  return w;
+}
+
 }  // extern "C"

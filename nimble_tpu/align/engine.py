@@ -914,18 +914,32 @@ def _build_groupband_tables(index: KmerIndex):
     band_all = bandrow[:, 1:]
 
     def pre_and(cols):  # (n, g) class ids -> (page, band, mask)
+        # blocked: _np_band_combine makes ~6 (block, Wb) temporaries per
+        # g column; at 11.4M entries x 64 words unblocked that is ~2.9 GB
+        # each and the 50k-library sidecar build spent ~18.5 min mostly
+        # in allocator churn. ~128 MB blocks keep the working set cached.
         po = np.zeros(n, dtype=np.int32)
         bo = np.zeros((n, Wb), dtype=np.int32)
-        has = np.zeros(n, dtype=bool)
         mask = np.zeros(n, dtype=np.int32)
-        for i in range(cols.shape[1]):
-            c = cols[:, i]
-            pres = c >= 0
-            cc = np.clip(c, 0, None)
-            po, bo, has = _np_band_combine(
-                po, bo, has, pages_all[cc], band_all[cc], pres, Pw
-            )
-            mask |= pres.astype(np.int32) << i
+        block = max(1, (128 << 20) // (Wb * 4))
+        for lo_i in range(0, n, block):
+            hi_i = min(lo_i + block, n)
+            cb = cols[lo_i:hi_i]
+            pb = po[lo_i:hi_i]
+            bb = bo[lo_i:hi_i]
+            hb = np.zeros(hi_i - lo_i, dtype=bool)
+            mb = mask[lo_i:hi_i]
+            for i in range(cb.shape[1]):
+                c = cb[:, i]
+                pres = c >= 0
+                cc = np.clip(c, 0, None)
+                pb, bb, hb = _np_band_combine(
+                    pb, bb, hb, pages_all[cc], band_all[cc], pres, Pw
+                )
+                mb |= pres.astype(np.int32) << i
+            po[lo_i:hi_i] = pb
+            bo[lo_i:hi_i] = bb
+            mask[lo_i:hi_i] = mb
         return po, bo, mask
 
     p_s, b_s, vs_mask = pre_and(vals[:, :g])
@@ -1301,7 +1315,8 @@ def expand_band_rows_np(rows: np.ndarray, Pw: int, W: int) -> np.ndarray:
 
 
 def pack_outputs_idlist(
-    out: dict, cap: int, Pw: int, packed16: bool = False
+    out: dict, cap: int, Pw: int, packed16: bool = False,
+    hdr1: bool = False,
 ) -> jnp.ndarray:
     """Wide-W emission wire for emit-cap engines: per read
     [w0 = score | r1_fwd<<16, w1 = r2_fwd<<14 | pass_<<28, id0..id{cap-1}]
@@ -1312,6 +1327,12 @@ def pack_outputs_idlist(
     packed two per word (absent = 0xFFFF sentinel), ceil(cap/2) words —
     48 -> 28 B/read at cap=10, for the ~50 MB/s relay where the output
     wire is a first-order e2e term.
+
+    hdr1 (engines with 2*max_len <= 1023, i.e. reads <= 511 bp): the two
+    header words collapse into one —
+    w = score | r1_fwd<<10 | r2_fwd<<19 | pass_<<28 — score fits 10 bits
+    (paired sum <= 2*max_len) and each forward score 9 bits (<= max_len).
+    With packed16 at cap=10 this is 24 B/read (1 + 5 words).
 
     Replaces the band-row + per-chunk-dictionary codec when the device
     emission cap is active: every surviving class has <= cap features by
@@ -1351,8 +1372,14 @@ def pack_outputs_idlist(
     f1 = out["r1_fwd"].astype(jnp.int32)
     f2 = out["r2_fwd"].astype(jnp.int32)
     pass_ = out["pass_"].astype(jnp.int32)
-    w0 = score | (f1 << 16)
-    w1 = (f2 << 14) | (pass_ << 28)
+    if hdr1:
+        hdr = jnp.stack(
+            [score | (f1 << 10) | (f2 << 19) | (pass_ << 28)], axis=1
+        )
+    else:
+        w0 = score | (f1 << 16)
+        w1 = (f2 << 14) | (pass_ << 28)
+        hdr = jnp.stack([w0, w1], axis=1)
     if packed16:
         idu = jnp.where(ids >= 0, ids, jnp.int32(0xFFFF))
         if cap & 1:
@@ -1360,25 +1387,24 @@ def pack_outputs_idlist(
                 [idu, jnp.full((C, 1), jnp.int32(0xFFFF))], axis=1
             )
         ids = idu[:, 0::2] | (idu[:, 1::2] << 16)
-    return jnp.concatenate(
-        [jnp.stack([w0, w1], axis=1), ids], axis=1
-    ).reshape(-1)
+    return jnp.concatenate([hdr, ids], axis=1).reshape(-1)
 
 
 def unpack_outputs_idlist(
-    flat: np.ndarray, C: int, cap: int, valid: int, packed16: bool = False
+    flat: np.ndarray, C: int, cap: int, valid: int, packed16: bool = False,
+    hdr1: bool = False,
 ) -> dict:
     """Host inverse of pack_outputs_idlist over S stacked chunks."""
-    row_w = 2 + (((cap + 1) // 2) if packed16 else cap)
+    nh = 1 if hdr1 else 2
+    row_w = nh + (((cap + 1) // 2) if packed16 else cap)
     if flat.size % (C * row_w) != 0:
         raise ValueError(
             f"payload size {flat.size} not a multiple of idlist chunk "
-            f"length {C * row_w} (C={C}, cap={cap}, packed16={packed16})"
+            f"length {C * row_w} (C={C}, cap={cap}, packed16={packed16}, "
+            f"hdr1={hdr1})"
         )
     rows = flat.reshape(-1, row_w)
-    w0 = rows[:, 0]
-    w1 = rows[:, 1]
-    ids = rows[:, 2:][:valid]
+    ids = rows[:, nh:][:valid]
     if packed16:
         n = ids.shape[0]
         un = np.empty((n, 2 * ids.shape[1]), dtype=np.int32)
@@ -1386,6 +1412,19 @@ def unpack_outputs_idlist(
         un[:, 1::2] = (ids >> 16) & 0xFFFF
         un[un == 0xFFFF] = -1
         ids = un[:, :cap]
+    if hdr1:
+        w = rows[:, 0]
+        return {
+            "ids": ids,
+            "score": (w & 0x3FF)[:valid],
+            "r1_fwd": ((w >> 10) & 0x1FF)[:valid],
+            "r1_rev": np.zeros(valid, np.int32),
+            "r2_fwd": ((w >> 19) & 0x1FF)[:valid],
+            "r2_rev": np.zeros(valid, np.int32),
+            "pass_": ((w >> 28) & 1)[:valid],
+        }
+    w0 = rows[:, 0]
+    w1 = rows[:, 1]
     return {
         "ids": ids,
         "score": (w0 & 0xFFFF)[:valid],
@@ -2943,12 +2982,15 @@ class AlignEngine:
             # docstring). Selected statically per engine.
             self._idlist_wire = None
             if self._banded_wire is not None and emit_cap > 0:
-                # (cap, Pw, packed16): int16-pair id packing needs ids to
-                # fit 15 bits (0xFFFF is the absent sentinel)
+                # (cap, Pw, packed16, hdr1): int16-pair id packing needs
+                # ids to fit 15 bits (0xFFFF is the absent sentinel);
+                # hdr1 needs score <= 2*max_len to fit 10 bits and each
+                # forward score 9 bits
                 self._idlist_wire = (
                     emit_cap,
                     self._banded_wire[0],
                     index.n_features <= 32767,
+                    2 * self.max_len <= 1023,
                 )
 
             def emit(out):
@@ -2967,6 +3009,7 @@ class AlignEngine:
                         return pack_outputs_idlist(
                             {**out, "_band": rows}, emit_cap, Pw_b,
                             packed16=self._idlist_wire[2],
+                            hdr1=self._idlist_wire[3],
                         )
                     return pack_outputs_compact(
                         {**out, "bits": rows}, cH, cSP
@@ -3235,6 +3278,7 @@ class AlignEngine:
                     unpack_outputs_idlist(
                         arr, C, self._idlist_wire[0], valid,
                         packed16=self._idlist_wire[2],
+                        hdr1=self._idlist_wire[3],
                     )
                 )
                 continue

@@ -60,9 +60,28 @@ class BgzfWriter:
     def __init__(self, path: str):
         self._f = open(path, "wb")
         self._buf = bytearray()
+        try:
+            from nimble_tpu.io import native as _native
+
+            self._native_compress = (
+                _native.bgzf_compress if _native.available() else None
+            )
+        except Exception:
+            self._native_compress = None
 
     def write(self, data: bytes) -> None:
         self._buf += data
+        n_full = (len(self._buf) // self.MAX_PAYLOAD) * self.MAX_PAYLOAD
+        if not n_full:
+            return
+        if self._native_compress is not None:
+            # parallel block compress (OpenMP in C++); byte-identical to
+            # the serial loop below on the same 0xFF00-byte payloads
+            out = self._native_compress(bytes(self._buf[:n_full]))
+            if out is not None:
+                self._f.write(out)
+                del self._buf[:n_full]
+                return
         while len(self._buf) >= self.MAX_PAYLOAD:
             self._flush_block(self._buf[: self.MAX_PAYLOAD])
             del self._buf[: self.MAX_PAYLOAD]

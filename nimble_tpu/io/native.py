@@ -432,6 +432,33 @@ def encode_bam_pairs(names, s1, q1, s2, q2, cbs, umis) -> Optional[bytes]:
     return out[:wrote].tobytes()
 
 
+def bgzf_compress(data: bytes) -> Optional[bytes]:
+    """Compress a byte string into BGZF members of 0xFF00-byte payloads in
+    C++ (nt_bgzf_compress, OpenMP over blocks) — byte-identical to the
+    python BgzfWriter flushing the same payloads serially (same zlib,
+    level 6 raw deflate). Returns None when the native library is
+    unavailable; the caller falls back to the serial python path."""
+    lib = _load()
+    if lib is None or not data:
+        return None
+    if not hasattr(lib, "_nt_bgzf_bound"):
+        lib.nt_bgzf_compress.restype = ctypes.c_int64
+        lib.nt_bgzf_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64
+        ]
+        lib._nt_bgzf_bound = True
+    n = len(data)
+    nb = (n + 0xFF00 - 1) // 0xFF00
+    cap = n + nb * 256 + 64  # header/trailer + worst-case deflate growth
+    out = np.empty(cap, dtype=np.uint8)
+    wrote = lib.nt_bgzf_compress(
+        data, n, out.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if wrote < 0:
+        raise RuntimeError("nt_bgzf_compress failed")
+    return out[:wrote].tobytes()
+
+
 def _bind_bam(lib):
     if hasattr(lib, "_bam_bound"):
         return

@@ -71,3 +71,36 @@ def test_bam_eof_marker(tmp_path):
     data = open(path, "rb").read()
     # BGZF EOF block present at the tail
     assert data.endswith(bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000000000000000"))
+
+
+def test_native_bgzf_compress_byte_identical(tmp_path):
+    """BgzfWriter with the native parallel block compressor
+    (io.native.bgzf_compress, OpenMP over 0xFF00-byte payloads) produces
+    byte-identical files to the serial python zlib path, at any write
+    granularity (block payload boundaries are a writer invariant)."""
+    from nimble_tpu.io import native
+    from nimble_tpu.io.bam import BgzfWriter
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    data = (
+        rng.integers(0, 256, size=3 * 0xFF00 + 777, dtype=np.uint8).tobytes()
+        + b"ACGTACGT" * 50_000
+    )
+    py_path = tmp_path / "py.bgzf"
+    nat_path = tmp_path / "nat.bgzf"
+    w = BgzfWriter(str(py_path))
+    w._native_compress = None  # force the serial python path
+    w.write(data)
+    w.close()
+    w = BgzfWriter(str(nat_path))
+    assert w._native_compress is not None
+    for i in range(0, len(data), 12345):  # odd granularity
+        w.write(data[i : i + 12345])
+    w.close()
+    assert py_path.read_bytes() == nat_path.read_bytes()
+    with gzip.open(nat_path, "rb") as f:
+        assert f.read() == data

@@ -639,3 +639,86 @@ def test_all_outlier_entries_fall_back_to_groupcls():
     out_m = eng_m.align_batch(codes, lens)
     for key in ("bits", "score", "r1_fwd", "r1_rev", "pass_"):
         np.testing.assert_array_equal(out_g[key], out_m[key], err_msg=key)
+
+
+def test_idlist_wire_roundtrip_both_headers():
+    """pack_outputs_idlist <-> unpack_outputs_idlist exactness for every
+    header/id layout: 2-word vs single-word (hdr1) headers x int32 vs
+    packed-int16 ids. hdr1 packs score(10b)|r1_fwd(9b)|r2_fwd(9b)|pass(1b)
+    into one word (valid whenever 2*max_len <= 1023)."""
+    import jax.numpy as jnp
+
+    from nimble_tpu.align.engine import (
+        pack_outputs_idlist,
+        unpack_outputs_idlist,
+    )
+
+    rng = np.random.default_rng(11)
+    C, W_words, Pw, cap = 64, 40, 8, 10
+    bits = np.zeros((C, W_words), dtype=np.int32)
+    n_feat = W_words * 32
+    expect_ids = np.full((C, cap), -1, dtype=np.int32)
+    for r in range(C):
+        k = int(rng.integers(0, cap + 1))
+        # keep the class inside one aligned 2-page window (band invariant)
+        page = int(rng.integers(0, W_words // Pw - 1))
+        lo = page * Pw * 32
+        span = 2 * Pw * 32
+        ids = np.sort(
+            rng.choice(min(span, n_feat - lo), size=k, replace=False) + lo
+        )[::-1]
+        for f in ids:
+            bits[r, f // 32] |= np.int32(1 << (f % 32))
+        expect_ids[r, :k] = ids
+    score = rng.integers(0, 1023, size=C).astype(np.int32)
+    f1 = rng.integers(0, 512, size=C).astype(np.int32)
+    f2 = rng.integers(0, 512, size=C).astype(np.int32)
+    pass_ = (rng.random(C) < 0.8).astype(np.int32)
+    out = {
+        "bits": jnp.asarray(bits),
+        "score": jnp.asarray(score),
+        "r1_fwd": jnp.asarray(f1),
+        "r2_fwd": jnp.asarray(f2),
+        "pass_": jnp.asarray(pass_),
+    }
+    for hdr1 in (False, True):
+        for packed16 in (False, True):
+            flat = np.asarray(
+                pack_outputs_idlist(
+                    out, cap, Pw, packed16=packed16, hdr1=hdr1
+                )
+            )
+            got = unpack_outputs_idlist(
+                flat, C, cap, C, packed16=packed16, hdr1=hdr1
+            )
+            assert np.array_equal(got["score"], score)
+            assert np.array_equal(got["r1_fwd"], f1)
+            assert np.array_equal(got["r2_fwd"], f2)
+            assert np.array_equal(got["pass_"], pass_)
+            want = np.where(pass_[:, None] == 1, expect_ids, -1)
+            assert np.array_equal(got["ids"], want), (hdr1, packed16)
+
+
+def test_idlist_hdr1_selection_by_max_len():
+    """The engine turns hdr1 on exactly when 2*max_len fits the 10-bit
+    score field (scores can reach 2*max_len on paired sums)."""
+    rng = np.random.default_rng(6)
+    seqs = [rand_seq(rng, 700) for _ in range(40)]
+    base = seqs[0]
+    wide = []
+    for i in range(1100):
+        s = list(base)
+        for pos in rng.integers(320, 700, size=4):
+            s[pos] = "ACGT"[rng.integers(0, 4)]
+        wide.append("".join(s))
+    data = make_data(seqs + wide)
+    cfg = Config()
+    index = build_index(data, cfg, k=K)
+    e = AlignEngine(index, cfg, max_len=100, chunk_size=32, scan_chunks=2,
+                    compact_out=True)
+    if e._idlist_wire is not None:
+        assert e._idlist_wire[3] is True
+    e = AlignEngine(index, cfg, max_len=600, chunk_size=32, scan_chunks=2,
+                    compact_out=True)
+    if e._idlist_wire is not None:
+        assert e._idlist_wire[3] is False
