@@ -172,12 +172,18 @@ class BarcodeCorrector:
         return out
 
 
-def _process_pair_chunk(c1, c2, corrector, cb_length: int, umi_length: int):
+def _process_pair_chunk(
+    c1, c2, corrector, cb_length: int, umi_length: int, r1_codes=None
+):
     """One FASTQ chunk pair -> (encoded BAM record bytes, stats delta).
 
     Pure function of its inputs, so chunks can run on worker threads while
     the main thread writes blobs in order (the numpy correction and BGZF
-    compression release the GIL)."""
+    compression release the GIL).
+
+    r1_codes: optional (n, >=cb_length) int8 base-code matrix for the R1
+    chunk (the native reader already computed it) — skips the per-read
+    seqmod.encode loop, which was ~10% of single-core wall at 2M pairs."""
     from nimble_tpu.io.bam import BamRecord, _encode_record
 
     stats: Dict[str, int] = defaultdict(int)
@@ -185,33 +191,74 @@ def _process_pair_chunk(c1, c2, corrector, cb_length: int, umi_length: int):
     nrec = min(len(c1), len(c2))
     stats["total_pairs"] = nrec
 
-    keep: List[int] = []
-    names: List[str] = []
-    for i in range(nrec):
-        n1 = c1.names[i].decode()
-        n2 = c2.names[i].decode()
-        n1 = n1[:-2] if n1.endswith("/1") else n1
-        n2 = n2[:-2] if n2.endswith("/2") else n2
-        if n1 != n2:
-            stats["name_mismatch"] += 1
-            continue
-        if len(c1.seqs[i]) < barcode_length:
-            stats["too_short"] += 1
-            continue
-        if len(c1.seqs[i]) == barcode_length:
-            stats["no_remaining_seq"] += 1
-            continue
-        keep.append(i)
-        names.append(n1)
+    # fast path (the common 10x shape): identical name lists with no
+    # /1 + /2 suffix pair -> all names match, vectorized length filters
+    fast_names = (
+        nrec > 0
+        and not c1.names[0].endswith(b"/1")
+        and not c2.names[0].endswith(b"/2")
+        and c1.names[:nrec] == c2.names[:nrec]
+    )
+    if fast_names:
+        lens1 = np.fromiter(
+            map(len, c1.seqs[:nrec]), dtype=np.int64, count=nrec
+        )
+        too_short = lens1 < barcode_length
+        no_rest = lens1 == barcode_length
+        stats["too_short"] += int(too_short.sum())
+        stats["no_remaining_seq"] += int(no_rest.sum())
+        keep = np.flatnonzero(~(too_short | no_rest)).tolist()
+        names = [c1.names[i].decode() for i in keep]
+    else:
+        keep = []
+        names = []
+        for i in range(nrec):
+            n1 = c1.names[i].decode()
+            n2 = c2.names[i].decode()
+            n1 = n1[:-2] if n1.endswith("/1") else n1
+            n2 = n2[:-2] if n2.endswith("/2") else n2
+            if n1 != n2:
+                stats["name_mismatch"] += 1
+                continue
+            if len(c1.seqs[i]) < barcode_length:
+                stats["too_short"] += 1
+                continue
+            if len(c1.seqs[i]) == barcode_length:
+                stats["no_remaining_seq"] += 1
+                continue
+            keep.append(i)
+            names.append(n1)
     if not keep:
         return b"", stats
 
-    cb_codes = np.full((len(keep), cb_length), seqmod.N_CODE, dtype=np.int8)
-    cb_quals = np.zeros((len(keep), cb_length), dtype=np.uint8)
-    for row, i in enumerate(keep):
-        cb_codes[row] = seqmod.encode(c1.seqs[i][:cb_length])
-        q = c1.quals[i][:cb_length]
-        cb_quals[row, : len(q)] = np.frombuffer(q, dtype=np.uint8) - 33
+    if r1_codes is not None and r1_codes.shape[1] >= cb_length:
+        # kept reads have len > barcode_length >= cb_length, so the CB
+        # prefix of the pre-computed code matrix is always valid
+        cb_codes = np.ascontiguousarray(r1_codes[keep, :cb_length])
+    else:
+        cb_codes = np.full(
+            (len(keep), cb_length), seqmod.N_CODE, dtype=np.int8
+        )
+        for row, i in enumerate(keep):
+            cb_codes[row] = seqmod.encode(c1.seqs[i][:cb_length])
+    # pooled CB-qual gather: one join + one fancy index instead of a
+    # per-read frombuffer/slice loop
+    qlens = np.fromiter(map(len, c1.quals[:nrec]), dtype=np.int64, count=nrec)
+    qoffs = np.zeros(nrec + 1, dtype=np.int64)
+    np.cumsum(qlens, out=qoffs[1:])
+    qarr = np.frombuffer(b"".join(c1.quals[:nrec]), dtype=np.uint8)
+    karr = np.asarray(keep, dtype=np.int64)
+    if qarr.size:
+        idx = qoffs[karr][:, None] + np.arange(cb_length, dtype=np.int64)
+        valid = (
+            np.arange(cb_length, dtype=np.int64)[None, :]
+            < qlens[karr][:, None]
+        )
+        cb_quals = np.where(
+            valid, qarr[np.minimum(idx, qarr.size - 1)] - 33, 0
+        ).astype(np.uint8)
+    else:
+        cb_quals = np.zeros((len(keep), cb_length), dtype=np.uint8)
 
     corrected = corrector.correct_chunk(cb_codes, cb_quals, stats)
 
@@ -311,6 +358,7 @@ def fastq_to_bam_with_barcodes(
                 yield (
                     FastqChunk(b["names"], b["r1_seqs"], b["r1_quals"]),
                     FastqChunk(b["r2_names"], b["r2_seqs"], b["r2_quals"]),
+                    b["r1_codes"],  # skip re-encoding the CB prefix
                 )
             return
         r1_iter = iter_fastq_chunks(r1_fastq, 1 << 15)
@@ -319,7 +367,7 @@ def fastq_to_bam_with_barcodes(
             c2 = next(r2_iter, None)
             if c2 is None:
                 break
-            yield c1, c2
+            yield c1, c2, None
 
     def consume(blob: bytes, delta: Dict[str, int]):
         writer.write_encoded(blob)
@@ -331,19 +379,21 @@ def fastq_to_bam_with_barcodes(
 
     try:
         if num_cores <= 1:
-            for c1, c2 in chunk_pairs():
-                consume(*_process_pair_chunk(c1, c2, corrector, cb_length, umi_length))
+            for c1, c2, codes1 in chunk_pairs():
+                consume(*_process_pair_chunk(
+                    c1, c2, corrector, cb_length, umi_length, codes1
+                ))
         else:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=num_cores) as pool:
                 inflight = deque()
-                for c1, c2 in chunk_pairs():
+                for c1, c2, codes1 in chunk_pairs():
                     inflight.append(
                         pool.submit(
                             _process_pair_chunk, c1, c2, corrector,
-                            cb_length, umi_length,
+                            cb_length, umi_length, codes1,
                         )
                     )
                     # bounded pipeline: blobs drain in submission order
