@@ -752,6 +752,10 @@ def _build_class_bands(index: KmerIndex):
 # classes allowed to exceed the page span before robust banding gives up
 BAND_OUTLIER_CAP = 64
 
+# working-set budget for the gband build's blocked pre-AND (bytes of one
+# (block, Wb) int32 plane); tests shrink it to force the multi-block path
+GBAND_PREAND_BLOCK_BYTES = 128 << 20
+
 
 def _build_class_bands_robust(index: KmerIndex):
     """_build_class_bands tolerant of a FEW wide-span outlier classes.
@@ -921,7 +925,7 @@ def _build_groupband_tables(index: KmerIndex):
         po = np.zeros(n, dtype=np.int32)
         bo = np.zeros((n, Wb), dtype=np.int32)
         mask = np.zeros(n, dtype=np.int32)
-        block = max(1, (128 << 20) // (Wb * 4))
+        block = max(1, GBAND_PREAND_BLOCK_BYTES // (Wb * 4))
         for lo_i in range(0, n, block):
             hi_i = min(lo_i + block, n)
             cb = cols[lo_i:hi_i]

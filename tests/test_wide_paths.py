@@ -722,3 +722,37 @@ def test_idlist_hdr1_selection_by_max_len():
                     compact_out=True)
     if e._idlist_wire is not None:
         assert e._idlist_wire[3] is False
+
+
+def test_gband_preand_blocked_matches_unblocked(monkeypatch):
+    """The blocked pre-AND (engine.GBAND_PREAND_BLOCK_BYTES working-set
+    budget) must produce tables identical to a single-block run — the
+    multi-block path only engages at >~500k pair entries in production,
+    so force tiny blocks here and diff every gband table."""
+    from nimble_tpu.align import engine as eng_mod
+
+    rng = np.random.default_rng(27)
+    seqs = []
+    for fam in range(6):
+        bb = rand_seq(rng, 400)
+        for a in range(200):
+            s = list(bb)
+            for pos in rng.integers(0, 400, size=5):
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            seqs.append("".join(s))
+    cfg = Config(score_threshold=0, score_filter=0, score_percent=0.0)
+    data = make_data(seqs)
+    index = build_index(data, cfg, k=K)
+    assert index.bitset_words > 32
+    big = eng_mod._build_groupband_tables(index)
+    assert big is not None, "gband path must engage for this fixture"
+    ref = {k: np.asarray(v) for k, v in big.items()}
+
+    # fresh index object (the gband cache is per index object), tiny blocks
+    index2 = build_index(data, cfg, k=K)
+    monkeypatch.setattr(eng_mod, "GBAND_PREAND_BLOCK_BYTES", 4096)
+    small = eng_mod._build_groupband_tables(index2)
+    assert small is not None
+    assert set(small.keys()) == set(ref.keys())
+    for k2, v in small.items():
+        np.testing.assert_array_equal(np.asarray(v), ref[k2], err_msg=k2)
