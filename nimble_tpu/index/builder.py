@@ -185,6 +185,13 @@ class KmerIndex:
             group_bits_words=self.group_bits_words,
             n_kmers=self.n_kmers,
         )
+        # derived-table sidecars (gband) persist next to the index file;
+        # without this a FRESHLY-BUILT index (first align / index --warm)
+        # had no _cache_path, so the minutes-scale gband host build was
+        # thrown away and redone by the next process (observed: a 20k
+        # `index --warm` + `align` pair built the same 4.6M-entry sidecar
+        # twice, ~6 min each on a 2-core host)
+        self._cache_path = path
 
     @classmethod
     def load(cls, path: str) -> "KmerIndex":

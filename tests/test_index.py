@@ -378,3 +378,26 @@ def test_group_entries_match_bruteforce_oracle():
         assert idx2.pair_g == g
         np.testing.assert_array_equal(idx2.pair_hi, idx.pair_hi)
         np.testing.assert_array_equal(idx2.pair_vals, idx.pair_vals)
+
+
+def test_fresh_build_sets_cache_path_for_sidecars(tmp_path, monkeypatch):
+    """A FRESHLY-BUILT index that was persisted must carry _cache_path, so
+    derived-table sidecars (the gband build — minutes of host work at
+    millions of entries) persist in the SAME process instead of being
+    rebuilt by the next one (`index --warm` + `align` each paid the full
+    build before this)."""
+    from nimble_tpu.config import save_library
+    from nimble_tpu.index import builder as B
+
+    rng = np.random.default_rng(11)
+    data = make_data([rand_seq(rng, 300), rand_seq(rng, 300)])
+    lib = str(tmp_path / "lib.json")
+    save_library(lib, Config(), data)
+    monkeypatch.delenv("NIMBLE_TPU_NO_INDEX_CACHE", raising=False)
+    idx = B.build_index_for_library(lib, data, Config(), k=15)
+    assert getattr(idx, "_cache_path", None) == B.index_cache_path(lib)
+
+    # no-cache mode must NOT set it (nothing on disk to key sidecars to)
+    monkeypatch.setenv("NIMBLE_TPU_NO_INDEX_CACHE", "1")
+    idx2 = B.build_index_for_library(lib, data, Config(), k=15)
+    assert getattr(idx2, "_cache_path", None) is None
